@@ -1,0 +1,199 @@
+"""IMU forward propagation + per-point motion deskew, as fused device kernels.
+
+Re-design of the reference's `ImuProcess` (reference src/IMU_Processing.cpp):
+
+  * `Forward` (:366-484) — midpoint gyro/accel integration with full 18×18
+    covariance propagation per IMU sample → here a `lax.scan` over the padded
+    IMU window, emitting the per-sample pose segments needed for deskew;
+  * `UndistortPcl` backward per-point compensation (:925-956) — the reference
+    walks points backward through IMU segments in a scalar loop; here every
+    point interpolates its segment pose in parallel (searchsorted + gather +
+    closed-form constant-acceleration pose within the segment) and is
+    re-expressed in the scan-end body frame in one batched transform;
+  * `Forward_without_imu` (:486-553) — constant-velocity propagation for
+    IMU-less (KITTI) mode, with linear-twist deskew;
+  * `IMU_init` static initialization (:188-232) — gravity/bias from averaged
+    static samples, done host-side once.
+
+Error-state ordering matches core/state.py: [θ p v bg ba g].
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from immesh_tpu.config import ImuConfig
+from immesh_tpu.core import so3
+from immesh_tpu.core.state import EsikfState, STATE_DIM
+from immesh_tpu.frontend.types import ScanBundle
+
+
+@struct.dataclass
+class PoseSegments:
+    """Per-IMU-sample pose knots for deskew interpolation."""
+
+    stamps: jnp.ndarray  # (M,)
+    rot: jnp.ndarray     # (M, 3, 3) world←body at each knot
+    pos: jnp.ndarray     # (M, 3)
+    vel: jnp.ndarray     # (M, 3)
+    gyr: jnp.ndarray     # (M, 3) bias-corrected segment angular rate
+    acc_w: jnp.ndarray   # (M, 3) world-frame segment acceleration (gravity-included)
+
+
+def imu_propagate(state: EsikfState, bundle: ScanBundle, cfg: ImuConfig
+                  ) -> Tuple[EsikfState, PoseSegments]:
+    """Propagate mean + covariance through the scan's IMU window.
+
+    Returns the state at scan end and the pose knots for deskew.  The scan is
+    over static length M; padded samples carry dt=0 and are exact no-ops.
+    """
+    stamps = bundle.imu_stamps
+    m = stamps.shape[0]
+    dtype = state.pos.dtype
+
+    # midpoint pairs: interval k spans [stamps[k], stamps[k+1]]
+    acc_mid = 0.5 * (bundle.imu_acc[:-1] + bundle.imu_acc[1:])
+    gyr_mid = 0.5 * (bundle.imu_gyr[:-1] + bundle.imu_gyr[1:])
+    dts = stamps[1:] - stamps[:-1]
+    pair_ok = bundle.imu_mask[:-1] & bundle.imu_mask[1:]
+    dts = jnp.where(pair_ok, jnp.maximum(dts, 0.0), 0.0)
+
+    g_std = jnp.sqrt(jnp.asarray(cfg.gyr_cov, dtype))
+    a_std = jnp.sqrt(jnp.asarray(cfg.acc_cov, dtype))
+
+    def step(carry, inp):
+        rot, pos, vel, cov = carry
+        acc, gyr, dt = inp
+        w = gyr - state.bg
+        a_body = acc - state.ba
+        a_world = rot @ a_body + state.grav
+
+        # knot emitted BEFORE integrating: pose at interval start
+        knot = (rot, pos, vel, w, a_world)
+
+        dR = so3.exp(w * dt)
+        rot_n = rot @ dR
+        pos_n = pos + vel * dt + 0.5 * a_world * dt * dt
+        vel_n = vel + a_world * dt
+
+        # 18×18 covariance: F = I + dt·A with the standard ESIKF blocks
+        # (reference IMU_Processing.cpp:429-445 F_x / cov_w assembly)
+        F = jnp.eye(STATE_DIM, dtype=dtype)
+        F = F.at[0:3, 0:3].set(dR.T)
+        F = F.at[0:3, 9:12].set(-so3.a_matrix(w * dt) * dt)
+        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype) * dt)
+        F = F.at[6:9, 0:3].set(-rot @ so3.hat(a_body) * dt)
+        F = F.at[6:9, 12:15].set(-rot * dt)
+        F = F.at[6:9, 15:18].set(jnp.eye(3, dtype=dtype) * dt)
+
+        Q = jnp.zeros((STATE_DIM, STATE_DIM), dtype)
+        Q = Q.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * (g_std * dt) ** 2)
+        Q = Q.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * (a_std * dt) ** 2)
+        Q = Q.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * cfg.b_gyr_cov * dt)
+        Q = Q.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * cfg.b_acc_cov * dt)
+
+        cov_n = F @ cov @ F.T + Q
+        # masked intervals (dt=0): F=I, Q=0 ⇒ exact no-op already
+        return (rot_n, pos_n, vel_n, cov_n), knot
+
+    (rot_e, pos_e, vel_e, cov_e), knots = jax.lax.scan(
+        step, (state.rot, state.pos, state.vel, state.cov),
+        (acc_mid, gyr_mid, dts),
+    )
+    k_rot, k_pos, k_vel, k_gyr, k_accw = knots
+
+    # final knot at the last stamp (pose after the last interval)
+    last_w = bundle.imu_gyr[-1] - state.bg
+    last_aw = rot_e @ (bundle.imu_acc[-1] - state.ba) + state.grav
+    seg = PoseSegments(
+        stamps=stamps,
+        rot=jnp.concatenate([k_rot, rot_e[None]], 0),
+        pos=jnp.concatenate([k_pos, pos_e[None]], 0),
+        vel=jnp.concatenate([k_vel, vel_e[None]], 0),
+        gyr=jnp.concatenate([k_gyr, last_w[None]], 0),
+        acc_w=jnp.concatenate([k_accw, last_aw[None]], 0),
+    )
+    out = state.replace(rot=rot_e, pos=pos_e, vel=vel_e, cov=cov_e)
+    return out, seg
+
+
+def const_velocity_propagate(state: EsikfState, dt: jnp.ndarray,
+                             pos_cov: float = 1e-2, rot_cov: float = 1e-3
+                             ) -> EsikfState:
+    """IMU-less propagation (reference Forward_without_imu,
+    IMU_Processing.cpp:486-553): constant velocity, inflate covariance."""
+    pos = state.pos + state.vel * dt
+    cov = state.cov
+    cov = cov.at[0:3, 0:3].add(jnp.eye(3, dtype=cov.dtype) * rot_cov * dt)
+    cov = cov.at[3:6, 3:6].add(jnp.eye(3, dtype=cov.dtype) * pos_cov * dt)
+    return state.replace(pos=pos, cov=cov)
+
+
+def deskew(seg: PoseSegments, end_state: EsikfState, pts: jnp.ndarray,
+           t_rel: jnp.ndarray) -> jnp.ndarray:
+    """Motion-compensate every point to the scan-end body frame, batched.
+
+    Replaces the reference's backward scalar walk (IMU_Processing.cpp:925-956):
+    each point finds its IMU segment (searchsorted), evaluates the segment's
+    constant-acceleration pose at its own timestamp, and is re-expressed in
+    the scan-end frame:  p_end = R_eᵀ (R(t)·p + p(t) − p_e).
+    """
+    k = jnp.clip(
+        jnp.searchsorted(seg.stamps, t_rel, side="right") - 1,
+        0, seg.stamps.shape[0] - 1,
+    )
+    dt = (t_rel - seg.stamps[k])[:, None]
+    R_k = seg.rot[k]
+    w = seg.gyr[k]
+    p_t = seg.pos[k] + seg.vel[k] * dt + 0.5 * seg.acc_w[k] * dt * dt
+    R_t = R_k @ so3.exp(w * dt)
+    p_world = jnp.einsum("nij,nj->ni", R_t, pts) + p_t
+    return (p_world - end_state.pos) @ end_state.rot
+
+
+def deskew_const_twist(pts: jnp.ndarray, t_rel: jnp.ndarray,
+                       scan_duration: jnp.ndarray,
+                       rel_rot_vec: jnp.ndarray, rel_trans: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """IMU-less deskew with a linear twist over the scan (KITTI mode).
+
+    `rel_rot_vec`/`rel_trans` describe the motion of the body over one scan
+    (typically the previous frame's relative pose).  Point at time t is mapped
+    to the scan-end frame assuming constant twist.
+    """
+    T = jnp.maximum(scan_duration, 1e-6)
+    alpha = jnp.clip((t_rel / T), 0.0, 1.0)[:, None] - 1.0  # ∈ [-1, 0]
+    R_rel = so3.exp(alpha * rel_rot_vec[None, :])
+    return jnp.einsum("nij,nj->ni", R_rel, pts) + alpha * rel_trans[None, :]
+
+
+def static_init(acc: jnp.ndarray, gyr: jnp.ndarray, cfg: ImuConfig,
+                state: EsikfState) -> EsikfState:
+    """Static initialization from a stack of stationary IMU samples.
+
+    Mirrors IMU_init (reference IMU_Processing.cpp:188-232): gravity direction
+    from the mean accelerometer, gyro bias from the mean gyro.  Also aligns
+    the initial attitude so gravity is -z in the world frame.
+    """
+    mean_acc = jnp.mean(acc, axis=0)
+    mean_gyr = jnp.mean(gyr, axis=0)
+    g_norm = jnp.linalg.norm(mean_acc)
+    # world frame: choose rot so that R·mean_acc points along +z (gravity -z)
+    a = mean_acc / jnp.maximum(g_norm, 1e-6)
+    z = jnp.array([0.0, 0.0, 1.0], acc.dtype)
+    v = jnp.cross(a, z)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(a, z)
+    angle = jnp.arctan2(s, c)
+    axis = v / jnp.maximum(s, 1e-8)
+    rot0 = so3.exp(axis * angle)  # R·a = z
+    rot0 = jnp.where(s < 1e-8, jnp.eye(3, dtype=acc.dtype), rot0)
+    return state.replace(
+        rot=rot0,
+        bg=mean_gyr,
+        grav=jnp.array([0.0, 0.0, -cfg.gravity], acc.dtype),
+    )

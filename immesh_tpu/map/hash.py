@@ -1,0 +1,154 @@
+"""Open-addressing spatial hash table — fully batched, jit-safe, SoA.
+
+Replaces the reference's `std::unordered_map<VOXEL_LOC, ...>` voxel hashes
+(reference src/voxel_loc.hpp:106-127 VOXEL_LOC + hash, and the prime-mix
+`Hash_map_3d` in src/tools/tools_kd_hash.hpp:54-136) with a fixed-capacity
+open-addressing table held in device arrays:
+
+  * keys are raw int32 (kx, ky, kz, level) quadruples — no 64-bit packing, so
+    the table works without jax_enable_x64 and probes are plain int32 compares
+    on the VPU;
+  * `lookup` is a batched linear-probe loop (`lax.while_loop` that runs only
+    as many rounds as the worst unfinished lane needs);
+  * `insert` is deterministic and atomic-free: each probe round, colliding
+    candidates claim empty slots through a scatter-min tournament and losers
+    continue probing.  With the table kept under ~50 % load this converges in
+    a few rounds.
+
+The `level` key component folds the reference's per-voxel octree children
+(voxel_loc.hpp:129-177 OctoTree, max_layer) into the same flat table: level 0
+entries are coarse voxels, level 1 entries are half-size octants of voxels
+whose coarse plane fit failed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# same primes as the reference's spatial hash (tools_kd_hash.hpp:77)
+_P1 = jnp.int32(73856093)
+_P2 = jnp.int32(19349669)
+_P3 = jnp.int32(83492791)
+_P4 = jnp.int32(3145739)
+
+EMPTY = jnp.int32(0x7FFFFFFF)  # sentinel coordinate for unoccupied slots
+
+
+def _hash(coords: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """coords: (..., 4) int32 → slot index in [0, capacity). capacity = mask+1."""
+    h = (
+        coords[..., 0] * _P1
+        ^ coords[..., 1] * _P2
+        ^ coords[..., 2] * _P3
+        ^ coords[..., 3] * _P4
+    )
+    return h & jnp.int32(mask)
+
+
+@struct.dataclass
+class HashTable:
+    keys: jnp.ndarray  # (capacity, 4) int32; keys[:, 0] == EMPTY ⇒ free slot
+
+    capacity: int = struct.field(pytree_node=False)
+    max_probe: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, capacity: int, max_probe: int = 32) -> "HashTable":
+        assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+        keys = jnp.full((capacity, 4), EMPTY, dtype=jnp.int32)
+        return cls(keys=keys, capacity=capacity, max_probe=max_probe)
+
+    @property
+    def _mask(self) -> int:
+        return self.capacity - 1
+
+    # ------------------------------------------------------------------
+    def lookup(self, coords: jnp.ndarray) -> jnp.ndarray:
+        """Batched lookup. coords: (N, 4) int32 → slot: (N,) int32, -1 if absent.
+
+        Runs probe rounds until every lane resolved (found or proven absent) or
+        max_probe reached; each round is one gather + compare over all lanes.
+        """
+        n = coords.shape[0]
+        h0 = _hash(coords, self._mask)
+        keys = self.keys
+
+        def cond(carry):
+            r, done, _ = carry
+            return (r < self.max_probe) & jnp.any(~done)
+
+        def body(carry):
+            r, done, slot = carry
+            cand = (h0 + r) & self._mask
+            k = keys[cand]  # (N, 4)
+            is_empty = k[:, 0] == EMPTY
+            match = jnp.all(k == coords, axis=-1)
+            slot = jnp.where(~done & match, cand, slot)
+            # empty slot before a match ⇒ key is absent (linear probing invariant)
+            done = done | match | is_empty
+            return r + 1, done, slot
+
+        _, _, slot = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros(n, bool), jnp.full(n, -1, jnp.int32)),
+        )
+        return slot
+
+    # ------------------------------------------------------------------
+    def insert(self, coords: jnp.ndarray, valid: jnp.ndarray):
+        """Batched find-or-insert of UNIQUE keys. coords: (U, 4), valid: (U,).
+
+        Returns (new_table, slots) with slots[i] = -1 for invalid entries or on
+        probe/capacity exhaustion.  Keys must be mutually unique where valid
+        (callers dedup per frame first) — duplicates would race the claim.
+        """
+        u = coords.shape[0]
+        h0 = _hash(coords, self._mask)
+        ids = jnp.arange(u, dtype=jnp.int32)
+
+        keys = self.keys
+        done = ~valid
+        slot = jnp.full(u, -1, jnp.int32)
+
+        # Static unrolled claim rounds: each round does gather + scatter-min +
+        # gather + scatter.  max_probe rounds compile to a fixed fused program.
+        for r in range(self.max_probe):
+            cand = (h0 + r) & self._mask
+            k = keys[cand]
+            is_empty = k[:, 0] == EMPTY
+            match = jnp.all(k == coords, axis=-1)
+            slot = jnp.where(~done & match, cand, slot)
+            done = done | match
+
+            # claim tournament on empty candidate slots
+            attempt = ~done & is_empty
+            claim = jnp.full(self.capacity, u, jnp.int32)
+            claim = claim.at[jnp.where(attempt, cand, self.capacity)].min(
+                ids, mode="drop"
+            )
+            won = attempt & (claim[cand] == ids)
+            keys = keys.at[jnp.where(won, cand, self.capacity)].set(
+                coords, mode="drop"
+            )
+            slot = jnp.where(won, cand, slot)
+            done = done | won
+
+        return self.replace(keys=keys), slot
+
+    def occupancy(self) -> jnp.ndarray:
+        return jnp.sum(self.keys[:, 0] != EMPTY)
+
+
+def voxel_coords(pts: jnp.ndarray, voxel_size: float, level: int = 0) -> jnp.ndarray:
+    """World points (N, 3) → int32 key quadruples (N, 4) at the given level.
+
+    Level 0 uses `voxel_size`, level 1 uses `voxel_size/2` (octant children).
+    Floor quantization matches the reference's VOXEL_LOC rounding
+    (voxel_mapping.cpp:120-127: floor of p/voxel_size).
+    """
+    size = voxel_size / (2 ** level)
+    c = jnp.floor(pts / size).astype(jnp.int32)
+    lvl = jnp.full((pts.shape[0], 1), level, jnp.int32)
+    return jnp.concatenate([c, lvl], axis=-1)
