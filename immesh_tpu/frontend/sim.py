@@ -1,0 +1,257 @@
+"""Synthetic LiDAR-inertial sequence generator (host-side, NumPy).
+
+The reference is validated operationally by replaying rosbags (SURVEY.md §4);
+this image has no datasets and zero egress, so the simulator is our
+reproducible stand-in: an analytic scene (bounded planes), a smooth periodic
+trajectory with exact poses, a spinning/solid-state LiDAR model that casts
+every ray from the TRUE pose at the ray's own timestamp (so motion skew is
+physically real and deskew is testable), and IMU samples finite-differenced
+from the dense pose function.  Ground-truth scan-end poses come with every
+sequence, giving us the golden-trajectory ATE fixtures the reference lacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Rect:
+    """Bounded plane patch: center, unit normal, tangent axes + half extents."""
+
+    center: np.ndarray
+    normal: np.ndarray
+    t1: np.ndarray
+    t2: np.ndarray
+    e1: float
+    e2: float
+
+
+def default_scene(extent: float = 12.0, height: float = 5.0) -> List[Rect]:
+    """A closed room: floor, four walls, two box obstacles."""
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    rects = [
+        Rect(np.array([0.0, 0.0, 0.0]), z, x, y, extent, extent),          # floor
+        Rect(np.array([extent, 0, height / 2]), -x, y, z, extent, height / 2),
+        Rect(np.array([-extent, 0, height / 2]), x, y, z, extent, height / 2),
+        Rect(np.array([0, extent, height / 2]), -y, x, z, extent, height / 2),
+        Rect(np.array([0, -extent, height / 2]), y, x, z, extent, height / 2),
+    ]
+
+    def box(cx, cy, hw, hh):
+        c = np.array([cx, cy, hh / 2])
+        for n, t in (((1, 0, 0), (0, 1, 0)), ((0, 1, 0), (1, 0, 0))):
+            n, t = np.array(n, float), np.array(t, float)
+            for s in (1.0, -1.0):
+                rects.append(Rect(c + s * n * hw, s * n, t, z, hw, hh / 2))
+        rects.append(Rect(np.array([cx, cy, hh]), z, x, y, hw, hw))
+        return rects
+
+    box(4.0, -3.0, 1.0, 2.0)
+    box(-5.0, 4.0, 1.5, 1.5)
+    return rects
+
+
+def _rot_zyx(yaw, pitch, roll):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    return Rz @ Ry @ Rx
+
+
+class Trajectory:
+    """Smooth closed-form trajectory: circle with vertical bob + attitude sway.
+
+    Time is warped through a quadratic ramp so the vehicle starts at rest
+    (consistent with the filter's static initialization) and smoothly reaches
+    cruise speed by `t_ramp` seconds.
+    """
+
+    def __init__(self, radius: float = 5.0, omega: float = 0.35,
+                 z0: float = 1.5, z_amp: float = 0.3, sway: float = 0.04,
+                 t_ramp: float = 2.0):
+        self.r, self.w, self.z0, self.za, self.sway = radius, omega, z0, z_amp, sway
+        self.t_ramp = t_ramp
+
+    def _warp(self, t: float) -> float:
+        tr = self.t_ramp
+        if t <= 0:
+            return 0.0
+        if t < tr:
+            return t * t / (2 * tr)
+        return t - tr / 2
+
+    def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
+        w = self.w
+        t = self._warp(t)
+        p = np.array([
+            self.r * np.cos(w * t), self.r * np.sin(w * t),
+            self.z0 + self.za * np.sin(2.3 * w * t),
+        ])
+        yaw = w * t + np.pi / 2  # facing along velocity
+        pitch = self.sway * np.sin(1.7 * w * t)
+        roll = self.sway * np.cos(2.9 * w * t)
+        return _rot_zyx(yaw, pitch, roll), p
+
+
+def _log_so3(R: np.ndarray) -> np.ndarray:
+    c = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    th = np.arccos(c)
+    if th < 1e-8:
+        return np.zeros(3)
+    return th / (2 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+
+
+@dataclasses.dataclass
+class SimFrame:
+    pts: np.ndarray          # (n, 3) body frame at measurement time
+    t_rel: np.ndarray        # (n,) seconds from scan start
+    imu_stamps: np.ndarray   # (m,) seconds from scan start
+    imu_acc: np.ndarray      # (m, 3)
+    imu_gyr: np.ndarray      # (m, 3)
+    scan_duration: float
+    gt_rot: np.ndarray       # (3, 3) ground-truth pose at scan END
+    gt_pos: np.ndarray
+    gt_pts_world: np.ndarray  # (n, 3) true world-frame hit points (test oracle)
+
+
+class LidarImuSimulator:
+    """Generates a sequence of SimFrames with physically consistent skew.
+
+    LiDAR: `n_rays` per scan, spinning azimuth sweep across `rings` elevation
+    rings over the scan period (mirrors the spinning-sensor timing the
+    reference decodes in its velodyne handler, preprocess.cpp:497-530).
+    IMU: `imu_rate` samples finite-differenced from the trajectory.
+    """
+
+    def __init__(self, scene=None, traj=None, scan_rate: float = 10.0,
+                 imu_rate: float = 200.0, n_rays: int = 4096, rings: int = 16,
+                 range_noise: float = 0.01, max_range: float = 60.0,
+                 accel_noise: float = 0.02, gyro_noise: float = 0.002,
+                 gravity: float = 9.81, seed: int = 0):
+        self.scene = scene if scene is not None else default_scene()
+        self.traj = traj if traj is not None else Trajectory()
+        self.scan_T = 1.0 / scan_rate
+        self.imu_dt = 1.0 / imu_rate
+        self.n_rays = n_rays
+        self.rings = rings
+        self.range_noise = range_noise
+        self.max_range = max_range
+        self.accel_noise = accel_noise
+        self.gyro_noise = gyro_noise
+        self.g_vec = np.array([0.0, 0.0, -gravity])
+        self.rng = np.random.default_rng(seed)
+        # precompute scene arrays for vectorized raycast
+        self._C = np.stack([r.center for r in self.scene])
+        self._N = np.stack([r.normal for r in self.scene])
+        self._T1 = np.stack([r.t1 for r in self.scene])
+        self._T2 = np.stack([r.t2 for r in self.scene])
+        self._E1 = np.array([r.e1 for r in self.scene])
+        self._E2 = np.array([r.e2 for r in self.scene])
+
+    # ------------------------------------------------------------------
+    def _raycast(self, origins: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """Nearest bounded-plane hit range per ray; inf if none. (n,3)x2→(n,)"""
+        # (n, k) ray-plane params
+        denom = dirs @ self._N.T                       # (n, k)
+        num = -((origins @ self._N.T) - np.einsum("kj,kj->k", self._C, self._N))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        t = np.where((np.abs(denom) > 1e-8) & (t > 0.05), t, np.inf)
+        hit = origins[:, None, :] + t[..., None] * dirs[:, None, :]  # (n,k,3)
+        lo = hit - self._C[None]
+        u = np.einsum("nkj,kj->nk", lo, self._T1)
+        v = np.einsum("nkj,kj->nk", lo, self._T2)
+        inside = (np.abs(u) <= self._E1[None]) & (np.abs(v) <= self._E2[None])
+        t = np.where(inside, t, np.inf)
+        return t.min(axis=1)
+
+    def _ray_dirs_body(self, phase: float) -> Tuple[np.ndarray, np.ndarray]:
+        """Spinning pattern: azimuth sweep + cycling rings. Returns dirs, t_rel."""
+        i = np.arange(self.n_rays)
+        az = 2 * np.pi * (i / self.n_rays) + phase
+        el = np.deg2rad(np.linspace(-20, 5, self.rings))[i % self.rings]
+        d = np.stack(
+            [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=1
+        )
+        t_rel = self.scan_T * i / self.n_rays
+        return d, t_rel
+
+    # ------------------------------------------------------------------
+    def frame(self, k: int) -> SimFrame:
+        """Generate scan k covering [k·T, (k+1)·T)."""
+        t0 = k * self.scan_T
+        dirs_b, t_rel = self._ray_dirs_body(phase=0.7 * k)
+
+        # true pose per ray timestamp
+        pts = np.zeros((self.n_rays, 3))
+        # batch rays by unique timestamps in small groups for speed: evaluate
+        # poses at a coarse grid then interpolate is overkill — loop over a
+        # subsampled pose table
+        n_pose = 64
+        tg = np.linspace(0, self.scan_T, n_pose)
+        Rg = np.zeros((n_pose, 3, 3))
+        pg = np.zeros((n_pose, 3))
+        for j, tj in enumerate(tg):
+            Rg[j], pg[j] = self.traj.pose(t0 + tj)
+        idx = np.minimum((t_rel / self.scan_T * (n_pose - 1)).astype(int), n_pose - 1)
+        R_t = Rg[idx]
+        p_t = pg[idx]
+
+        dirs_w = np.einsum("nij,nj->ni", R_t, dirs_b)
+        rng_hit = self._raycast(p_t, dirs_w)
+        ok = np.isfinite(rng_hit) & (rng_hit < self.max_range)
+        rng_meas = rng_hit + self.rng.normal(size=self.n_rays) * self.range_noise
+        pts = dirs_b * rng_meas[:, None]
+        gt_pts_world = p_t + dirs_w * rng_meas[:, None]
+        pts = pts[ok]
+        t_rel = t_rel[ok]
+        gt_pts_world = gt_pts_world[ok]
+
+        # IMU over [t0, t0+T] inclusive boundaries
+        m = int(round(self.scan_T / self.imu_dt))
+        stamps = np.linspace(0.0, self.scan_T, m + 1)
+        acc = np.zeros((m + 1, 3))
+        gyr = np.zeros((m + 1, 3))
+        h = 1e-4
+        for j, tj in enumerate(stamps):
+            t = t0 + tj
+            Rm, pm = self.traj.pose(t - h)
+            R0, _ = self.traj.pose(t)
+            Rp, pp = self.traj.pose(t + h)
+            a_w = (pp - 2 * self.traj.pose(t)[1] + pm) / h ** 2
+            gyr[j] = _log_so3(R0.T @ Rp) / h
+            acc[j] = R0.T @ (a_w - self.g_vec)
+        acc += self.rng.normal(size=acc.shape) * self.accel_noise
+        gyr += self.rng.normal(size=gyr.shape) * self.gyro_noise
+
+        gt_rot, gt_pos = self.traj.pose(t0 + self.scan_T)
+        return SimFrame(
+            pts=pts.astype(np.float32), t_rel=t_rel.astype(np.float32),
+            imu_stamps=stamps.astype(np.float32), imu_acc=acc.astype(np.float32),
+            imu_gyr=gyr.astype(np.float32), scan_duration=self.scan_T,
+            gt_rot=gt_rot, gt_pos=gt_pos,
+            gt_pts_world=gt_pts_world.astype(np.float32),
+        )
+
+    def sequence(self, n_frames: int) -> List[SimFrame]:
+        return [self.frame(k) for k in range(n_frames)]
+
+    def static_imu(self, n: int = 100) -> Tuple[np.ndarray, np.ndarray]:
+        """Stationary IMU samples at the initial pose (for static init)."""
+        R0, _ = self.traj.pose(0.0)
+        acc = np.tile(R0.T @ (-self.g_vec), (n, 1))
+        gyr = np.zeros((n, 3))
+        acc = acc + self.rng.normal(size=acc.shape) * self.accel_noise
+        gyr = gyr + self.rng.normal(size=gyr.shape) * self.gyro_noise
+        return acc.astype(np.float32), gyr.astype(np.float32)

@@ -1,0 +1,93 @@
+"""Point-to-plane association — one batched kernel over the whole scan.
+
+Replaces the reference's OpenMP residual builder (`BuildResidualListOMP`,
+reference src/voxel_mapping.cpp:153-245 and the recursive
+`build_single_residual` :247-318) with a fully vectorized pipeline:
+
+  world-transform → two-level hash plane lookup (+ face-neighbor fallback,
+  mirroring :192-222) → probabilistic χ gate
+  `|dist| < sigma_num·sqrt(σ_l)` (:264-269) → residual + Jacobian rows.
+
+Per-point measurement variance σ_l uses the factored plane covariance from
+core/geometry plus the world-frame point covariance push-forward
+(:1346-1358).  Everything is (N,)-shaped with a validity mask — no lists.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from immesh_tpu.config import VoxelMapConfig
+from immesh_tpu.core import so3
+from immesh_tpu.core.geometry import point_to_plane_sigma2
+from immesh_tpu.core.state import EsikfState
+from immesh_tpu.map.voxel_map import VoxelMap, _sym_unpack
+
+
+def _lookup_with_neighbors(vm: VoxelMap, q_world: jnp.ndarray):
+    """Plane lookup at the point's voxel, falling back to the face neighbor
+    toward which the point leans (reference voxel_mapping.cpp:192-222 probes
+    the near voxel when the own voxel has no plane)."""
+    res = vm.query_planes(q_world)
+    found = res["found"]
+    slot = res["slot"]
+
+    size = vm.cfg.voxel_size
+    frac = q_world / size - jnp.floor(q_world / size) - 0.5  # ∈ [-0.5, 0.5)
+    # probe the three face neighbors in order of |lean|, via one shifted query
+    # per axis (each is just a few gathers)
+    order = jnp.argsort(-jnp.abs(frac), axis=-1)
+    for rank in range(3):
+        axis_idx = order[:, rank]
+        shift = jnp.sign(frac[jnp.arange(q_world.shape[0]), axis_idx])
+        offset = jnp.zeros_like(q_world)
+        offset = offset.at[jnp.arange(q_world.shape[0]), axis_idx].set(shift * size)
+        res_n = vm.query_planes(q_world + offset)
+        take = ~found & res_n["found"]
+        slot = jnp.where(take, res_n["slot"], slot)
+        found = found | take
+    return found, slot
+
+
+def associate(state: EsikfState, vm: VoxelMap, pts_body: jnp.ndarray,
+              point_cov_body: jnp.ndarray, mask: jnp.ndarray,
+              cfg: VoxelMapConfig) -> Dict[str, jnp.ndarray]:
+    """Build residuals + H rows for the current state iterate.
+
+    Returns per-point arrays:
+      z (N,) signed point-to-plane distance, h6 (N, 6) Jacobian rows for
+      [δθ, δp], r_inv (N,) measurement information 1/σ_l, valid (N,) gate.
+    """
+    q_world = state.transform_points(pts_body)
+    found, slot = _lookup_with_neighbors(vm, q_world)
+
+    normal = vm.normal[slot]
+    d = vm.d[slot]
+    center = vm.center[slot]
+    cov_nn = _sym_unpack(vm.cov_nn[slot])
+    var_c = vm.var_c[slot]
+
+    z = jnp.sum(normal * q_world, axis=-1) + d
+
+    # world-frame point covariance: R Σ_body Rᵀ
+    cov_w = jnp.einsum("ij,njk,lk->nil", state.rot, point_cov_body, state.rot)
+    sigma2 = point_to_plane_sigma2(q_world, cov_w, normal, center, cov_nn, var_c)
+    sigma2 = jnp.maximum(sigma2, 1e-9)
+
+    gate = jnp.abs(z) < cfg.sigma_num * jnp.sqrt(sigma2)
+    valid = mask & found & gate
+
+    # H row: ∂z/∂δθ = -nᵀ R [p_body]× (right perturbation), ∂z/∂δp = nᵀ
+    Rp_hat = so3.hat(pts_body)                      # (N,3,3)
+    h_rot = -jnp.einsum("ni,ij,njk->nk", normal, state.rot, Rp_hat)
+    h6 = jnp.concatenate([h_rot, normal], axis=-1)
+
+    return {
+        "z": jnp.where(valid, z, 0.0),
+        "h6": jnp.where(valid[:, None], h6, 0.0),
+        "r_inv": jnp.where(valid, 1.0 / sigma2, 0.0),
+        "valid": valid,
+        "slot": slot,
+    }

@@ -1,0 +1,100 @@
+"""Per-frame LIO step: propagate → deskew → downsample → update → grow map.
+
+This is the TPU re-design of the reference's `service_LiDAR_update` hot loop
+(reference src/voxel_mapping.cpp:1660-2050, call stack SURVEY.md §3.2): the
+whole frame is ONE jitted program with no host round-trips — the reference's
+thread/callback plumbing is replaced by the host feeding padded ScanBundles
+and reading back poses asynchronously.
+
+The full deskewed world-frame scan is returned for the meshing stage, exactly
+as the reference hands `{undistorted world scan, pose}` to its mesh workers
+(`map_incremental_grow`, ImMesh_mesh_reconstruction.cpp:377-444).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from immesh_tpu.config import ImMeshConfig
+from immesh_tpu.core.geometry import lidar_point_cov_body
+from immesh_tpu.core.state import EsikfState
+from immesh_tpu.frontend.types import ScanBundle
+from immesh_tpu.lio import imu as imu_mod
+from immesh_tpu.lio.downsample import voxel_downsample
+from immesh_tpu.lio.esikf import lio_update
+from immesh_tpu.map.voxel_map import VoxelMap
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lio_step(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
+             cfg: ImMeshConfig):
+    """One LiDAR(-inertial) frame. Returns (state, vm, world_scan, diag).
+
+    world_scan is the full deskewed scan in world frame (meshing input),
+    shaped like bundle.pts with bundle.mask validity.
+    """
+    lio_cfg, map_cfg, imu_cfg = cfg.lio, cfg.voxel_map, cfg.imu
+
+    # 1. propagate + deskew (reference Process2 → Forward/UndistortPcl)
+    if imu_cfg.imu_en:
+        state_prop, seg = imu_mod.imu_propagate(state, bundle, imu_cfg)
+        pts_end = imu_mod.deskew(seg, state_prop, bundle.pts, bundle.t_rel)
+    else:
+        state_prop = imu_mod.const_velocity_propagate(state, bundle.scan_duration)
+        rel_rot = jnp.zeros(3, bundle.pts.dtype)  # carry of prev rel pose TODO
+        pts_end = imu_mod.deskew_const_twist(
+            bundle.pts, bundle.t_rel, bundle.scan_duration,
+            rel_rot, state.vel * bundle.scan_duration,
+        )
+
+    # 2. scan downsample for registration/map (reference downSizeFilterSurf)
+    down_pts, down_mask = voxel_downsample(
+        pts_end, bundle.mask, lio_cfg.downsample_voxel, lio_cfg.map_update_points
+    )
+
+    # 3. iterated ESIKF update (reference lio_state_estimation)
+    pcov = lidar_point_cov_body(down_pts, map_cfg.dept_err, map_cfg.beam_err)
+    state_new, diag = lio_update(
+        state_prop, vm, down_pts, pcov, down_mask, lio_cfg, map_cfg
+    )
+
+    # 4. map growth with the posterior pose (reference map_incremental_grow)
+    pts_world_down = state_new.transform_points(down_pts)
+    sigma2 = (pcov[:, 0, 0] + pcov[:, 1, 1] + pcov[:, 2, 2]) / 3.0
+    vm = vm.update(pts_world_down, sigma2, down_mask)
+
+    # full-resolution world scan for meshing
+    world_scan = state_new.transform_points(pts_end)
+    return state_new, vm, world_scan, diag
+
+
+class LioPipeline:
+    """Host-side convenience wrapper holding filter + map state across frames."""
+
+    def __init__(self, cfg: ImMeshConfig):
+        self.cfg = cfg
+        self.state = EsikfState.identity(
+            gravity=cfg.imu.gravity,
+            init_rot_cov=cfg.lio.init_rot_cov, init_pos_cov=cfg.lio.init_pos_cov,
+            init_vel_cov=cfg.lio.init_vel_cov, init_bias_cov=cfg.lio.init_bias_cov,
+            init_grav_cov=cfg.lio.init_grav_cov,
+        )
+        self.vm = VoxelMap.create(cfg.voxel_map)
+        self.frame_idx = 0
+
+    def static_init(self, acc, gyr):
+        """IMU static initialization (reference IMU_init)."""
+        self.state = imu_mod.static_init(
+            jnp.asarray(acc), jnp.asarray(gyr), self.cfg.imu, self.state
+        )
+
+    def step(self, bundle: ScanBundle):
+        self.state, self.vm, world_scan, diag = lio_step(
+            self.state, self.vm, bundle, self.cfg
+        )
+        self.frame_idx += 1
+        return world_scan, diag
