@@ -110,13 +110,14 @@ class MeshConfig:
     max_pts_per_frame: int = 10000          # appended pts/frame (ref number_of_pts_append_to_map)
     points_capacity: int = 2 ** 20          # global point SoA capacity
     voxel_capacity: int = 2 ** 16           # meshing-voxel hash capacity
-    pts_per_voxel: int = 64                 # per-voxel point-slot capacity
-    pull_capacity: int = 96                 # pulled pts per voxel (voxel + halo ring)
-    triangle_capacity: int = 2 ** 20        # triangle hash capacity
+    pts_per_voxel: int = 32                 # per-voxel point-slot capacity
+    pull_capacity: int = 48                 # pulled pts per voxel (voxel + halo ring)
+    tris_per_voxel: int = 64                # per-voxel owned-triangle capacity
     active_voxels_per_frame: int = 512      # static cap on voxels re-meshed per frame
+    mesh_chunk: int = 16                    # voxels triangulated per kernel launch
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
     max_tri_angle_deg: float = 150.0        # sliver filter (ref is_face_is_ok)
-    max_edge_scale: float = 2.0             # edge-length filter ×min point spacing
+    max_edge_scale: float = 0.0             # optional edge cap ×min spacing (0 = off, like ref)
 
 
 @dataclass(frozen=True)
@@ -238,7 +239,7 @@ def preset_sim() -> ImMeshConfig:
         voxel_map=VoxelMapConfig(voxel_size=0.8, capacity=2 ** 16),
         lio=LioConfig(max_iterations=4, downsample_voxel=0.2, map_update_points=4096),
         mesh=MeshConfig(
-            points_capacity=2 ** 18, voxel_capacity=2 ** 14, triangle_capacity=2 ** 18,
+            points_capacity=2 ** 18, voxel_capacity=2 ** 14,
         ),
     )
 

@@ -1,0 +1,196 @@
+"""Batched bounded 2-D Delaunay triangulation — the meshing compute kernel.
+
+Re-design of the reference's per-voxel CGAL call (`delaunay_triangulation`,
+reference src/meshing/mesh_rec_geometry.cpp:174-295: PCA plane projection →
+CGAL Delaunay_triangulation_2 → max-angle face filter): CGAL's incremental
+pointer-based triangulator cannot run on a TPU, so we use the classic
+*lifted-paraboloid characterization* — a triangle belongs to the Delaunay
+triangulation iff its circumcircle contains no other point, which for points
+lifted to (u, v, u²+v²) is one plane-side test — evaluated for ALL candidate
+triangles of the ≤K pulled points at once:
+
+    scores (T, K) = candidate_planes (T, 4) @ lifted_pts (4, K)   ← MXU matmul
+    delaunay(t)   = no valid point with score < −ε
+
+O(K⁴) work instead of O(K log K), but every op is a dense batched matmul over
+voxels × triangles × points with zero control flow — exactly what the MXU is
+fastest at, and K is small (≤64).  Degeneracies (collinear, cocircular) are
+handled by area/ε masks rather than CGAL's exact predicates; ties err toward
+keeping both diagonals (overdraw beats holes).
+
+The reference's max-angle sliver filter (`is_face_is_ok`,
+mesh_rec_geometry.cpp:40-57) is applied in the same pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from immesh_tpu.core.geometry import eigh3x3
+
+
+@functools.lru_cache(maxsize=8)
+def _tri_candidates(k: int) -> np.ndarray:
+    """All C(k,3) index triples (i<j<k), as an (T, 3) int32 host constant."""
+    idx = np.arange(k)
+    i, j, l = np.meshgrid(idx, idx, idx, indexing="ij")
+    m = (i < j) & (j < l)
+    return np.stack([i[m], j[m], l[m]], axis=-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _own_vertex_mask(k: int) -> np.ndarray:
+    """(T, K) bool — point column is a vertex of candidate row.  Own vertices
+    sit exactly ON their circumcircle; f32 rounding would otherwise flip them
+    randomly to 'inside' and kill valid triangles."""
+    tris = _tri_candidates(k)
+    cols = np.arange(k)[None, :]
+    return (
+        (cols == tris[:, 0:1]) | (cols == tris[:, 1:2]) | (cols == tris[:, 2:3])
+    )
+
+
+def pca_project(pts: jnp.ndarray, mask: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked PCA plane projection, batched over voxels.
+
+    pts: (A, K, 3), mask: (A, K) → (uv (A, K, 2), origin (A, 3), axes (A, 3, 3))
+    axes columns = [long, mid, short(=normal)], mirroring the reference's
+    cached per-voxel PCA axes (mesh_rec_geometry.cpp:196-213).
+    """
+    w = mask.astype(pts.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)
+    mean = jnp.sum(pts * w[..., None], axis=-2) / n
+    q = (pts - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("aki,akj->aij", q, q) / n[..., None]
+    lam, vecs = eigh3x3(cov)  # ascending; columns eigenvectors
+    e_long = vecs[..., :, 2]
+    e_mid = vecs[..., :, 1]
+    uv = jnp.stack([
+        jnp.einsum("aki,ai->ak", pts - mean[:, None, :], e_long),
+        jnp.einsum("aki,ai->ak", pts - mean[:, None, :], e_mid),
+    ], axis=-1)
+    return uv, mean, vecs
+
+
+def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
+                  eps_scale: float = 1e-6,
+                  tiebreak: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Delaunay test for every candidate triangle of every voxel.
+
+    uv: (A, K, 2) projected points, mask: (A, K) validity.
+    tiebreak: optional (A, K) int32 — stable per-point identity (global point
+    id) used for symbolic perturbation of cocircular ties.
+    Returns (tris (T, 3) shared candidate triples, keep (A, T) bool).
+
+    ε discipline (f32): |2·area| is O(scale²) and incircle scores are
+    O(scale⁴), so thresholds scale accordingly.  Exactly-cocircular quads
+    (gridded inputs) are broken by perturbing the paraboloid lift with a hash
+    of the point identity — frame-independent, so every voxel resolves the
+    tie the same way; ties below even that margin keep both diagonals
+    (overdraw beats holes — CGAL's exact predicates pick one arbitrarily).
+    """
+    A, K, _ = uv.shape
+    tris = jnp.asarray(_tri_candidates(K))       # (T, 3)
+    T = tris.shape[0]
+
+    u, v = uv[..., 0], uv[..., 1]
+    lift = u * u + v * v
+    # characteristic scale for epsilons
+    scale = jnp.maximum(
+        jnp.max(jnp.where(mask, jnp.abs(u), 0.0), axis=-1)
+        + jnp.max(jnp.where(mask, jnp.abs(v), 0.0), axis=-1),
+        1e-3,
+    )  # (A,)
+
+    # symbolic perturbation of the lift (units L²): η·hash(id) ∈ [0, η)
+    if tiebreak is None:
+        tiebreak = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (A, K))
+    tb = ((tiebreak * jnp.int32(-1640531527)) & jnp.int32(0xFFFF)).astype(
+        uv.dtype) * (1.0 / 65536.0)
+    eta = 256.0 * eps_scale * scale * scale
+    lift = lift + eta[:, None] * tb
+
+    pa = uv[:, tris[:, 0]]                        # (A, T, 2)
+    pb = uv[:, tris[:, 1]]
+    pc = uv[:, tris[:, 2]]
+    la = lift[:, tris[:, 0]]                      # (A, T)
+    lb = lift[:, tris[:, 1]]
+    lc = lift[:, tris[:, 2]]
+
+    e1 = pb - pa
+    e2 = pc - pa
+    area2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]   # signed 2·area
+    ccw = jnp.sign(area2)
+    min_area = eps_scale * scale[:, None] ** 2
+    nondeg = jnp.abs(area2) > min_area
+
+    # lifted plane through (a,b,c): normal = (B−A)×(C−A) in 3-D lift space
+    d1 = jnp.stack([e1[..., 0], e1[..., 1], lb - la], axis=-1)  # (A, T, 3)
+    d2 = jnp.stack([e2[..., 0], e2[..., 1], lc - la], axis=-1)
+    nrm = jnp.cross(d1, d2)                                      # (A, T, 3)
+    # orient so the z-component (=2·area) is positive (CCW convention)
+    nrm = nrm * ccw[..., None]
+    off = (
+        nrm[..., 0] * pa[..., 0] + nrm[..., 1] * pa[..., 1] + nrm[..., 2] * la
+    )                                                            # (A, T)
+
+    # scores (A, T, K) = planes · lifted points ; inside ⇔ score < offset − ε
+    planes = jnp.concatenate([nrm, -off[..., None]], axis=-1)    # (A, T, 4)
+    lifted = jnp.stack(
+        [u, v, lift, jnp.ones_like(u)], axis=-1)                 # (A, K, 4)
+    scores = jnp.einsum("atc,akc->atk", planes, lifted)
+    eps = eps_scale * scale[:, None, None] ** 4
+    own = jnp.asarray(_own_vertex_mask(K))                       # (T, K)
+    inside = (scores < -eps) & mask[:, None, :] & ~own[None]
+    bad = jnp.any(inside, axis=-1)                               # (A, T)
+
+    m3 = (
+        mask[:, tris[:, 0]] & mask[:, tris[:, 1]] & mask[:, tris[:, 2]]
+    )
+    return tris, m3 & nondeg & ~bad
+
+
+def angle_filter(p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
+                 max_angle_deg: float) -> jnp.ndarray:
+    """Sliver filter on 3-D vertex triples (..., 3): max interior angle gate
+    (reference is_face_is_ok, mesh_rec_geometry.cpp:40-57)."""
+    def ang(a, b, c):
+        u = b - a
+        v = c - a
+        cosv = jnp.sum(u * v, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(v, axis=-1), 1e-12
+        )
+        return jnp.arccos(jnp.clip(cosv, -1.0, 1.0))
+
+    a0 = ang(p0, p1, p2)
+    a1 = ang(p1, p2, p0)
+    a2 = ang(p2, p0, p1)
+    max_a = jnp.maximum(a0, jnp.maximum(a1, a2))
+    return max_a < jnp.deg2rad(max_angle_deg)
+
+
+def compact_triangles(keep: jnp.ndarray, tris: jnp.ndarray, cap: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-voxel compaction (A, T) bool → (A, cap) candidate-row ids, mask.
+
+    Overflow beyond `cap` kept triangles per voxel is dropped (bounded loss,
+    like the reference's queue back-pressure drops)."""
+    A, T = keep.shape
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1       # (A, T)
+    ok = keep & (pos < cap)
+    flat_tgt = jnp.where(
+        ok, jnp.arange(A, dtype=jnp.int32)[:, None] * cap + pos, A * cap
+    )
+    out = jnp.full(A * cap, -1, jnp.int32).at[flat_tgt.reshape(-1)].set(
+        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (A, T)).reshape(-1),
+        mode="drop",
+    ).reshape(A, cap)
+    return out, out >= 0

@@ -1,0 +1,174 @@
+"""Owner-computes triangle store + the per-frame incremental mesh step.
+
+Re-design of the reference's triangle management (reference
+src/meshing/r3live/triangle.{hpp,cpp}: global `m_triangle_hash` keyed by
+sorted vertex-id triples, per-point incidence maps, per-region mutex-guarded
+`Sync_triangle_set`s; diffed per re-mesh by `triangle_compare`,
+mesh_rec_geometry.cpp:137-172, and pushed under one big lock,
+ImMesh_mesh_reconstruction.cpp:228-244).
+
+TPU re-design — no global hash, no locks, no diff:
+  * every triangle is OWNED by the meshing voxel its centroid falls in;
+  * when a voxel re-meshes, its triangle list is REPLACED wholesale — a stale
+    border triangle disappears because its owner re-meshes too (the active set
+    is dilated to occupied neighbors, global_map.append_frame);
+  * duplicate suppression is geometric instead of associative: the voxels
+    around a border all compute the same Delaunay locally (their pulled point
+    sets agree inside the shared circumcircles), and exactly one contains the
+    centroid — so each triangle is emitted exactly once with no coordination.
+This makes the triangle store embarrassingly shardable by space (the
+multi-host partition dimension, SURVEY.md P6→§7).
+
+Winding / orientation mirrors `correct_triangle_index`
+(mesh_rec_geometry.cpp:399-433): triangle normal flipped to face the sensor.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from immesh_tpu.config import MeshConfig
+from immesh_tpu.mesh.delaunay import (
+    angle_filter, compact_triangles, delaunay_mask, pca_project,
+)
+from immesh_tpu.mesh.global_map import GlobalPointMap
+
+
+@struct.dataclass
+class TriangleStore:
+    tri_ids: jnp.ndarray   # (V, C, 3) int32 global point ids, winding order; -1 pad
+    tri_n: jnp.ndarray     # (V,) int32 triangles per voxel
+    dirty: jnp.ndarray     # (V,) bool — re-meshed since last viz sync
+
+    cfg: MeshConfig = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, cfg: MeshConfig) -> "TriangleStore":
+        V, C = cfg.voxel_capacity, cfg.tris_per_voxel
+        return cls(
+            tri_ids=jnp.full((V, C, 3), -1, jnp.int32),
+            tri_n=jnp.zeros(V, jnp.int32),
+            dirty=jnp.zeros(V, bool),
+            cfg=cfg,
+        )
+
+    def n_triangles(self) -> jnp.ndarray:
+        return jnp.sum(self.tri_n)
+
+    def clear_dirty(self) -> "TriangleStore":
+        return self.replace(dirty=jnp.zeros_like(self.dirty))
+
+
+def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
+                slots: jnp.ndarray, smask: jnp.ndarray,
+                sensor_pos: jnp.ndarray,
+                chunk: int = 16) -> TriangleStore:
+    """Re-triangulate the active voxels and replace their triangle lists.
+
+    The per-voxel pipeline (pull → PCA project → Delaunay → filters →
+    ownership → winding) matches `incremental_mesh_reconstruction`
+    (reference ImMesh_mesh_reconstruction.cpp:92-267); the TBB
+    parallel_for_each over voxels becomes chunked vmapped kernels.
+    """
+    cfg = store.cfg
+    A = slots.shape[0]
+    C = cfg.tris_per_voxel
+    res = cfg.voxel_resolution
+
+    pull = gm.pull_neighborhood(slots, smask)
+    pts, pmask, gidx = pull["pts"], pull["mask"], pull["idx"]
+    vox_key = gm.vox.keys[jnp.maximum(slots, 0), :3]          # (A, 3) int32
+
+    def one_chunk(args):
+        pts_c, pmask_c, gidx_c, key_c = args
+        uv, _, _ = pca_project(pts_c, pmask_c)
+        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=gidx_c)  # (T,3), (a,T)
+
+        # vertex positions + global ids per candidate (a, T, …)
+        v0 = pts_c[:, tris[:, 0]]
+        v1 = pts_c[:, tris[:, 1]]
+        v2 = pts_c[:, tris[:, 2]]
+        i0 = gidx_c[:, tris[:, 0]]
+        i1 = gidx_c[:, tris[:, 1]]
+        i2 = gidx_c[:, tris[:, 2]]
+
+        keep = keep & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
+        if cfg.max_edge_scale > 0:
+            emax = cfg.max_edge_scale * cfg.pts_minimum_scale
+            keep = keep & (
+                (jnp.linalg.norm(v1 - v0, axis=-1) < emax)
+                & (jnp.linalg.norm(v2 - v1, axis=-1) < emax)
+                & (jnp.linalg.norm(v0 - v2, axis=-1) < emax)
+            )
+
+        # canonical vertex order (ascending global id) so the centroid is
+        # bitwise identical in every voxel that generates this triangle —
+        # otherwise last-ulp drift lets two voxels both claim a triangle whose
+        # centroid sits exactly on their shared face
+        def sort3(a0, a1, a2, p0, p1, p2):
+            sw = a0 > a1
+            a0, a1 = jnp.where(sw, a1, a0), jnp.where(sw, a0, a1)
+            p0, p1 = (jnp.where(sw[..., None], p1, p0),
+                      jnp.where(sw[..., None], p0, p1))
+            sw = a1 > a2
+            a1, a2 = jnp.where(sw, a2, a1), jnp.where(sw, a1, a2)
+            p1, p2 = (jnp.where(sw[..., None], p2, p1),
+                      jnp.where(sw[..., None], p1, p2))
+            sw = a0 > a1
+            a0, a1 = jnp.where(sw, a1, a0), jnp.where(sw, a0, a1)
+            p0, p1 = (jnp.where(sw[..., None], p1, p0),
+                      jnp.where(sw[..., None], p0, p1))
+            return a0, a1, a2, p0, p1, p2
+
+        s0, s1, s2, q0, q1, q2 = sort3(i0, i1, i2, v0, v1, v2)
+        cen = ((q0 + q1) + q2) * (1.0 / 3.0)
+        cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, T, 3)
+        inside = jnp.all(cen_key == key_c[:, None, :], axis=-1)
+        keep = keep & inside
+
+        rows, rmask = compact_triangles(keep, tris, C)        # (a, C)
+        rowc = jnp.maximum(rows, 0)
+        take = lambda x: jnp.take_along_axis(x, rowc, axis=1)  # noqa: E731
+        ids = jnp.stack([take(s0), take(s1), take(s2)], axis=-1)  # (a, C, 3)
+        w0 = jnp.take_along_axis(q0, rowc[..., None].repeat(3, -1), 1)
+        w1 = jnp.take_along_axis(q1, rowc[..., None].repeat(3, -1), 1)
+        w2 = jnp.take_along_axis(q2, rowc[..., None].repeat(3, -1), 1)
+
+        # winding: flip so normal faces the sensor (correct_triangle_index)
+        nrm = jnp.cross(w1 - w0, w2 - w0)
+        cen3 = ((w0 + w1) + w2) * (1.0 / 3.0)
+        flip = jnp.sum(nrm * (sensor_pos - cen3), axis=-1) < 0
+        ids = jnp.where(
+            flip[..., None],
+            jnp.stack([ids[..., 0], ids[..., 2], ids[..., 1]], axis=-1),
+            ids,
+        )
+        ids = jnp.where(rmask[..., None], ids, -1)
+        return ids, rmask.sum(axis=-1).astype(jnp.int32)
+
+    # chunk over voxels to bound the (chunk, T, K) incircle intermediate
+    pad = (-A) % chunk
+    def padc(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    n_chunks = (A + pad) // chunk
+    def reshape_c(x):
+        return padc(x).reshape((n_chunks, chunk) + x.shape[1:])
+
+    ids, counts = jax.lax.map(
+        one_chunk,
+        (reshape_c(pts), reshape_c(pmask), reshape_c(gidx), reshape_c(vox_key)),
+    )
+    ids = ids.reshape(n_chunks * chunk, C, 3)[:A]
+    counts = counts.reshape(-1)[:A]
+
+    # replace the owning voxels' triangle lists wholesale
+    V = store.tri_n.shape[0]
+    tgt = jnp.where(smask, slots, V)
+    tri_ids = store.tri_ids.at[tgt].set(ids, mode="drop")
+    tri_n = store.tri_n.at[tgt].set(counts, mode="drop")
+    dirty = store.dirty.at[tgt].set(True, mode="drop")
+    return store.replace(tri_ids=tri_ids, tri_n=tri_n, dirty=dirty)
