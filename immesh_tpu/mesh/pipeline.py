@@ -45,9 +45,9 @@ class MeshPipeline:
         self.frame_idx = 0
 
     def step(self, pts_world, mask, sensor_pos) -> int:
-        pts_world = np.asarray(pts_world)
-        mask = np.asarray(mask)
-        if len(pts_world) == 0:  # static shapes need ≥1 row; mask it out
+        # shape check only — never np.asarray the scan here, it may be a
+        # device array handed straight from the LIO step (no host round-trip)
+        if pts_world.shape[0] == 0:  # static shapes need ≥1 row; mask it out
             pts_world = np.zeros((1, 3), np.float32)
             mask = np.zeros(1, bool)
         self.gm, self.store, n_active = mesh_step(

@@ -1,0 +1,127 @@
+"""Joint odometry + meshing runtime — the framework's `main()`.
+
+Re-design of the reference's process topology (SURVEY.md §1 threading): the
+LIO thread, frame queue, mesh thread-pool, and sync thread collapse into one
+host loop dispatching two jitted device programs per frame (LIO step → mesh
+step).  JAX dispatch is asynchronous, so host-side frame prep (decode, pad)
+overlaps device compute — the reference's pipeline parallelism (P3) without
+threads or locks.
+
+Responsibilities mirrored from the reference's `service_LiDAR_update`
+(src/voxel_mapping.cpp:1660-2050) and mesh service
+(ImMesh_mesh_reconstruction.cpp:272-326):
+  * static IMU init, per-frame step, pose/trajectory logging (kitti_log),
+  * handoff of the full deskewed world scan to meshing (map_incremental_grow),
+  * per-frame cost-time instrumentation in the reference's log schema,
+  * mesh + trajectory export, whole-state checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+import jax
+
+from immesh_tpu.config import ImMeshConfig
+from immesh_tpu.core import so3
+from immesh_tpu.frontend.types import ScanBundle
+from immesh_tpu.lio.pipeline import LioPipeline
+from immesh_tpu.mesh.pipeline import MeshPipeline
+from immesh_tpu.runtime.export import save_checkpoint, save_ply, smooth_vertices
+from immesh_tpu.utils.timers import CostTimeLogger, Timer, TrajectoryLogger
+
+
+class ImMeshRuntime:
+    """End-to-end LiDAR(-inertial) odometry + incremental meshing."""
+
+    def __init__(self, cfg: ImMeshConfig, log_dir: Optional[str] = None,
+                 mesh_enabled: bool = True):
+        self.cfg = cfg
+        self.lio = LioPipeline(cfg)
+        self.mesh = MeshPipeline(cfg) if mesh_enabled else None
+        self.timer = Timer()
+        self.frame_idx = 0
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.traj_log = TrajectoryLogger(os.path.join(log_dir, "kitti_log.txt"))
+            self.cost_log = CostTimeLogger(
+                os.path.join(log_dir, "mesh_cost_time.log"))
+        else:
+            self.traj_log = TrajectoryLogger(None)
+            self.cost_log = CostTimeLogger(None)
+
+    # ------------------------------------------------------------------
+    def static_init(self, acc: np.ndarray, gyr: np.ndarray) -> None:
+        self.lio.static_init(acc, gyr)
+
+    def process_frame(self, bundle: ScanBundle, t: float = 0.0) -> dict:
+        """One LiDAR(-inertial) frame through odometry and meshing."""
+        self.timer.tic("lio")
+        world_scan, diag = self.lio.step(bundle)
+        lio_ms = self.timer.toc("lio")
+
+        n_active = 0
+        mesh_ms = 0.0
+        if self.mesh is not None:
+            self.timer.tic("mesh")
+            # reference decimates to ≤number_of_pts_append_to_map points
+            # before appending (ImMesh_mesh_reconstruction.cpp:111); our
+            # bundles are already capped by preprocess.max_points
+            n_active = self.mesh.step(
+                world_scan, bundle.mask, self.lio.state.pos)
+            mesh_ms = self.timer.toc("mesh")
+
+        pos = np.asarray(self.lio.state.pos)
+        quat = np.asarray(so3.rot_to_quat(self.lio.state.rot))  # wxyz
+        self.traj_log.record(t, pos, (*quat[1:4], quat[0]))
+        self.cost_log.record(self.frame_idx, mesh_ms, n_active, lio_ms)
+        self.frame_idx += 1
+        return {
+            "pos": pos, "lio_ms": lio_ms, "mesh_ms": mesh_ms,
+            "n_active_voxels": n_active,
+            "n_effective": int(diag["n_effective"]),
+        }
+
+    def run(self, bundles: Iterable[ScanBundle]) -> list:
+        return [self.process_frame(b, t=k * 0.1) for k, b in enumerate(bundles)]
+
+    # ------------------------------------------------------------------
+    def save_mesh(self, path: str, smooth_iters: int = 0) -> tuple:
+        """Export current mesh to PLY (reference Save-Mesh button,
+        ImMesh_node.cpp:395-402 → save_to_ply_file)."""
+        assert self.mesh is not None
+        verts, faces = self.mesh.extract()
+        if smooth_iters:
+            verts = smooth_vertices(verts, faces, smooth_iters)
+        save_ply(path, verts, faces)
+        return verts, faces
+
+    def save_state(self, path_prefix: str) -> None:
+        """Checkpoint filter + maps (beyond the reference, which can only
+        serialize its point map offline)."""
+        save_checkpoint(path_prefix + ".lio.npz", self.lio.state)
+        save_checkpoint(path_prefix + ".vmap.npz", self.lio.vm)
+        if self.mesh is not None:
+            save_checkpoint(path_prefix + ".gmap.npz", self.mesh.gm)
+            save_checkpoint(path_prefix + ".tris.npz", self.mesh.store)
+
+    def close(self) -> None:
+        self.traj_log.close()
+        self.cost_log.close()
+
+
+def run_offline_pointcloud(pts: np.ndarray, cfg: ImMeshConfig,
+                           frame_size: int = 100_000) -> MeshPipeline:
+    """Offline meshing of a raw point cloud, no odometry (reference
+    `reconstruct_mesh_from_pointcloud`, ImMesh_mesh_reconstruction.cpp:328-345
+    / mapping_pointcloud.launch): identity pose, cloud chunked into frames."""
+    mesh = MeshPipeline(cfg)
+    sensor = pts.mean(axis=0).astype(np.float32) + np.array(
+        [0, 0, 100.0], np.float32)
+    for k in range(0, len(pts), frame_size):
+        chunk = np.asarray(pts[k:k + frame_size], np.float32)
+        mesh.step(chunk, np.ones(len(chunk), bool), sensor)
+    return mesh
