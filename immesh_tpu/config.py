@@ -114,7 +114,7 @@ class MeshConfig:
     pull_capacity: int = 48                 # pulled pts per voxel (voxel + halo ring)
     tris_per_voxel: int = 64                # per-voxel owned-triangle capacity
     active_voxels_per_frame: int = 512      # static cap on voxels re-meshed per frame
-    mesh_chunk: int = 16                    # voxels triangulated per kernel launch
+    mesh_chunk: int = 64                    # voxels triangulated per kernel launch
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
     max_tri_angle_deg: float = 150.0        # sliver filter (ref is_face_is_ok)
     max_edge_scale: float = 0.0             # optional edge cap ×min spacing (0 = off, like ref)

@@ -108,13 +108,16 @@ class HashTable:
         h0 = _hash(coords, self._mask)
         ids = jnp.arange(u, dtype=jnp.int32)
 
-        keys = self.keys
-        done = ~valid
-        slot = jnp.full(u, -1, jnp.int32)
+        # Early-exit probe loop: at sane load factors nearly every key
+        # resolves in 1-2 rounds, so a while_loop beats unrolled rounds by an
+        # order of magnitude (each round is a full gather+scatter pass).  The
+        # keys array is a loop carry → XLA keeps the updates in place.
+        def cond(c):
+            r, keys, done, slot = c
+            return (r < self.max_probe) & jnp.any(~done)
 
-        # Static unrolled claim rounds: each round does gather + scatter-min +
-        # gather + scatter.  max_probe rounds compile to a fixed fused program.
-        for r in range(self.max_probe):
+        def body(c):
+            r, keys, done, slot = c
             cand = (h0 + r) & self._mask
             k = keys[cand]
             is_empty = k[:, 0] == EMPTY
@@ -133,8 +136,12 @@ class HashTable:
                 coords, mode="drop"
             )
             slot = jnp.where(won, cand, slot)
-            done = done | won
+            return r + 1, keys, done | won, slot
 
+        _, keys, _, slot = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), self.keys, ~valid, jnp.full(u, -1, jnp.int32)),
+        )
         return self.replace(keys=keys), slot
 
     def occupancy(self) -> jnp.ndarray:

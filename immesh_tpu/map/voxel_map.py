@@ -112,11 +112,17 @@ class VoxelMap:
             )
         return vm
 
-    def _update_level(self, pts, sigma2, mask, level: int, max_voxels: int) -> "VoxelMap":
+    def scan_aggregates(self, pts, sigma2, mask, level: int, max_voxels: int):
+        """Per-scan segment aggregation: (uniq_coords (U,4), agg (U,11), ok).
+
+        agg columns: Σp (3) | Σppᵀ packed (6) | N (1) | Σσ² (1).  Pure
+        function of the scan — the distributed path all-gathers these
+        aggregates across data-parallel shards before applying them, so every
+        replica applies the identical update (dist/lio.py).
+        """
         cfg = self.cfg
         coords = voxel_coords(pts, cfg.voxel_size, level)
 
-        # ---- per-scan segment aggregation --------------------------------
         # pack to a scan-local 30-bit key (extent ≤1024 voxels per axis within
         # one scan — bounded by max sensor range / voxel size)
         big = jnp.int32(1 << 20)
@@ -150,8 +156,12 @@ class VoxelMap:
             [lx + cmin[0], ly + cmin[1], lz + cmin[2],
              jnp.full_like(uniq, level)], axis=-1
         )
+        return uniq_coords, agg, uniq_valid
 
-        # ---- insert + scatter-add moments --------------------------------
+    def apply_aggregates(self, uniq_coords, agg, uniq_valid, level: int
+                         ) -> "VoxelMap":
+        """Insert the aggregated voxels and scatter-add their moments."""
+        cfg = self.cfg
         table, slots = self.table.insert(uniq_coords, uniq_valid)
         ok = uniq_valid & (slots >= 0)
         # freeze full voxels (reference voxel_loc.cpp:243-248)
@@ -166,6 +176,12 @@ class VoxelMap:
         vm = self.replace(table=table, sum_p=sum_p, sum_ppT=sum_ppT,
                           count=count, sigma2_sum=sigma2_sum)
         return vm._refit(slots, ok, level)
+
+    def _update_level(self, pts, sigma2, mask, level: int, max_voxels: int
+                      ) -> "VoxelMap":
+        uniq_coords, agg, ok = self.scan_aggregates(
+            pts, sigma2, mask, level, max_voxels)
+        return self.apply_aggregates(uniq_coords, agg, ok, level)
 
     def _refit(self, slots: jnp.ndarray, ok: jnp.ndarray, level: int) -> "VoxelMap":
         """Batched plane refit of the touched slots (gather → eigh → scatter)."""

@@ -31,8 +31,59 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from immesh_tpu.core.geometry import eigh3x3
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _incircle_kernel(lift_ref, planes_ref, out_ref):
+    """Fused incircle scores + column-min for 8 voxels × one triangle tile.
+
+    lift_ref:   (8, 8, Kp)  [voxel, channel, point]; channels 0-3 =
+                [u, v, u²+v², 1]·valid, 4-7 zero
+    planes_ref: (8, 8, TT)  [voxel, channel, candidate]; channels 0-3 =
+                [nx, ny, nz, −off], 4-7 zero
+    out_ref:    (8, TT)     min over points of the plane-side score
+
+    The (Kp, TT) score matrix lives only in VMEM — the jnp fallback
+    materializes it to HBM, which dominates the meshing frame time.
+    Invalid/padded point columns are all-zero ⇒ score 0 ⇒ never < −ε.
+    """
+    s = jax.lax.dot_general(
+        lift_ref[:], planes_ref[:],
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact-f32 passes on the MXU
+    )  # (8, Kp, TT)
+    out_ref[:] = jnp.min(s, axis=1)
+
+
+def _incircle_min_scores(lifted8: jnp.ndarray, planes8: jnp.ndarray,
+                         tt: int = 1024) -> jnp.ndarray:
+    """(A, 8, Kp), (A, 8, Tp) → (A, Tp) min incircle score per candidate.
+
+    A must be a multiple of 8 (8 voxels per grid cell for output tiling)."""
+    A, _, Kp = lifted8.shape
+    Tp = planes8.shape[2]
+    assert Tp % tt == 0 and A % 8 == 0
+    return pl.pallas_call(
+        _incircle_kernel,
+        grid=(A // 8, Tp // tt),
+        in_specs=[
+            pl.BlockSpec((8, 8, Kp), lambda a, t: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8, tt), lambda a, t: (a, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tt), lambda a, t: (a, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, Tp), jnp.float32),
+    )(lifted8, planes8)
 
 
 @functools.lru_cache(maxsize=8)
@@ -142,15 +193,34 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
         nrm[..., 0] * pa[..., 0] + nrm[..., 1] * pa[..., 1] + nrm[..., 2] * la
     )                                                            # (A, T)
 
-    # scores (A, T, K) = planes · lifted points ; inside ⇔ score < offset − ε
-    planes = jnp.concatenate([nrm, -off[..., None]], axis=-1)    # (A, T, 4)
-    lifted = jnp.stack(
-        [u, v, lift, jnp.ones_like(u)], axis=-1)                 # (A, K, 4)
-    scores = jnp.einsum("atc,akc->atk", planes, lifted)
-    eps = eps_scale * scale[:, None, None] ** 4
-    own = jnp.asarray(_own_vertex_mask(K))                       # (T, K)
-    inside = (scores < -eps) & mask[:, None, :] & ~own[None]
-    bad = jnp.any(inside, axis=-1)                               # (A, T)
+    # scores = planes · lifted points ; inside ⇔ score < −ε
+    eps = eps_scale * scale[:, None] ** 4                        # (A, 1)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fused VMEM kernel: the (K, T) score matrix never reaches HBM
+        Kp = _round_up(K, 128)
+        Tp = _round_up(T, 1024)
+        Ap = _round_up(A, 8)
+        w = mask.astype(uv.dtype)
+        lifted8 = jnp.zeros((Ap, 8, Kp), jnp.float32)
+        lifted8 = lifted8.at[:A, 0, :K].set(u * w)
+        lifted8 = lifted8.at[:A, 1, :K].set(v * w)
+        lifted8 = lifted8.at[:A, 2, :K].set(lift * w)
+        lifted8 = lifted8.at[:A, 3, :K].set(w)
+        planes8 = jnp.zeros((Ap, 8, Tp), jnp.float32)
+        planes8 = planes8.at[:A, 0:3, :T].set(jnp.swapaxes(nrm, 1, 2))
+        planes8 = planes8.at[:A, 3, :T].set(-off)
+        min_s = _incircle_min_scores(lifted8, planes8, tt=1024)[:A, :T]
+        # own vertices score ±f32-rounding ≈ 1e-7·s⁴ ≪ ε — no exclusion needed
+        bad = min_s < -eps
+    else:
+        planes = jnp.concatenate([nrm, -off[..., None]], axis=-1)  # (A, T, 4)
+        lifted = jnp.stack(
+            [u, v, lift, jnp.ones_like(u)], axis=-1)               # (A, K, 4)
+        scores = jnp.einsum("atc,akc->atk", planes, lifted)
+        own = jnp.asarray(_own_vertex_mask(K))                     # (T, K)
+        inside = (scores < -eps[..., None]) & mask[:, None, :] & ~own[None]
+        bad = jnp.any(inside, axis=-1)                             # (A, T)
 
     m3 = (
         mask[:, tris[:, 0]] & mask[:, tris[:, 1]] & mask[:, tris[:, 2]]

@@ -67,14 +67,40 @@ def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
                 slots: jnp.ndarray, smask: jnp.ndarray,
                 sensor_pos: jnp.ndarray,
                 chunk: int = 16) -> TriangleStore:
-    """Re-triangulate the active voxels and replace their triangle lists.
+    """Re-triangulate the active voxels and replace their triangle lists."""
+    ids, counts = triangulate_voxels(
+        gm, slots, smask, sensor_pos, store.cfg, chunk)
+    return apply_triangles(store, slots, smask, ids, counts)
+
+
+def apply_triangles(store: TriangleStore, slots: jnp.ndarray,
+                    smask: jnp.ndarray, ids: jnp.ndarray,
+                    counts: jnp.ndarray) -> TriangleStore:
+    """Replace the owning voxels' triangle lists wholesale (the reference's
+    remove/insert diff under one mutex, ImMesh_mesh_reconstruction.cpp:228-244,
+    is unnecessary: full replace of owner lists is idempotent and lock-free)."""
+    V = store.tri_n.shape[0]
+    tgt = jnp.where(smask, slots, V)
+    return store.replace(
+        tri_ids=store.tri_ids.at[tgt].set(ids, mode="drop"),
+        tri_n=store.tri_n.at[tgt].set(counts, mode="drop"),
+        dirty=store.dirty.at[tgt].set(True, mode="drop"),
+    )
+
+
+def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
+                       smask: jnp.ndarray, sensor_pos: jnp.ndarray,
+                       cfg: MeshConfig, chunk: int = 16
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure compute: active voxels → (ids (A, C, 3) global pt ids, counts (A,)).
 
     The per-voxel pipeline (pull → PCA project → Delaunay → filters →
     ownership → winding) matches `incremental_mesh_reconstruction`
     (reference ImMesh_mesh_reconstruction.cpp:92-267); the TBB
-    parallel_for_each over voxels becomes chunked vmapped kernels.
+    parallel_for_each over voxels becomes chunked vmapped kernels.  Pure so
+    the multi-chip path can shard voxels across devices and all_gather the
+    results (dist/mesh.py).
     """
-    cfg = store.cfg
     A = slots.shape[0]
     C = cfg.tris_per_voxel
     res = cfg.voxel_resolution
@@ -83,23 +109,35 @@ def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
     pts, pmask, gidx = pull["pts"], pull["mask"], pull["idx"]
     vox_key = gm.vox.keys[jnp.maximum(slots, 0), :3]          # (A, 3) int32
 
+    # a full Delaunay of K pulled points has ≤ 2K−5 triangles, of which only
+    # the voxel-owned subset (≤ C) survives; compacting to C2 right after the
+    # Delaunay test keeps every later filter on a tiny (a, C2) set instead of
+    # the full (a, T) candidate axis — the former (a, T) elementwise chain
+    # dominated the meshing frame time
+    C2 = min(4 * C, 2 * cfg.pull_capacity)
+
     def one_chunk(args):
         pts_c, pmask_c, gidx_c, key_c = args
         uv, _, _ = pca_project(pts_c, pmask_c)
         tris, keep = delaunay_mask(uv, pmask_c, tiebreak=gidx_c)  # (T,3), (a,T)
 
-        # vertex positions + global ids per candidate (a, T, …)
-        v0 = pts_c[:, tris[:, 0]]
-        v1 = pts_c[:, tris[:, 1]]
-        v2 = pts_c[:, tris[:, 2]]
-        i0 = gidx_c[:, tris[:, 0]]
-        i1 = gidx_c[:, tris[:, 1]]
-        i2 = gidx_c[:, tris[:, 2]]
+        rows, rmask = compact_triangles(keep, tris, C2)       # (a, C2)
+        rowc = jnp.maximum(rows, 0)
+        tri3 = tris[rowc]                                     # (a, C2, 3)
 
-        keep = keep & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
+        def gatherp(e):
+            return jnp.take_along_axis(
+                pts_c, tri3[..., e:e + 1].repeat(3, -1), 1)
+
+        v0, v1, v2 = gatherp(0), gatherp(1), gatherp(2)       # (a, C2, 3)
+        i0 = jnp.take_along_axis(gidx_c, tri3[..., 0], axis=1)
+        i1 = jnp.take_along_axis(gidx_c, tri3[..., 1], axis=1)
+        i2 = jnp.take_along_axis(gidx_c, tri3[..., 2], axis=1)
+
+        keep2 = rmask & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
         if cfg.max_edge_scale > 0:
             emax = cfg.max_edge_scale * cfg.pts_minimum_scale
-            keep = keep & (
+            keep2 = keep2 & (
                 (jnp.linalg.norm(v1 - v0, axis=-1) < emax)
                 & (jnp.linalg.norm(v2 - v1, axis=-1) < emax)
                 & (jnp.linalg.norm(v0 - v2, axis=-1) < emax)
@@ -126,17 +164,16 @@ def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
 
         s0, s1, s2, q0, q1, q2 = sort3(i0, i1, i2, v0, v1, v2)
         cen = ((q0 + q1) + q2) * (1.0 / 3.0)
-        cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, T, 3)
-        inside = jnp.all(cen_key == key_c[:, None, :], axis=-1)
-        keep = keep & inside
+        cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, C2, 3)
+        keep2 = keep2 & jnp.all(cen_key == key_c[:, None, :], axis=-1)
 
-        rows, rmask = compact_triangles(keep, tris, C)        # (a, C)
-        rowc = jnp.maximum(rows, 0)
-        take = lambda x: jnp.take_along_axis(x, rowc, axis=1)  # noqa: E731
+        rows2, rmask2 = compact_triangles(keep2, tri3, C)     # (a, C) → C2 rows
+        r2 = jnp.maximum(rows2, 0)
+        take = lambda x: jnp.take_along_axis(x, r2, axis=1)   # noqa: E731
         ids = jnp.stack([take(s0), take(s1), take(s2)], axis=-1)  # (a, C, 3)
-        w0 = jnp.take_along_axis(q0, rowc[..., None].repeat(3, -1), 1)
-        w1 = jnp.take_along_axis(q1, rowc[..., None].repeat(3, -1), 1)
-        w2 = jnp.take_along_axis(q2, rowc[..., None].repeat(3, -1), 1)
+        w0 = jnp.take_along_axis(q0, r2[..., None].repeat(3, -1), 1)
+        w1 = jnp.take_along_axis(q1, r2[..., None].repeat(3, -1), 1)
+        w2 = jnp.take_along_axis(q2, r2[..., None].repeat(3, -1), 1)
 
         # winding: flip so normal faces the sensor (correct_triangle_index)
         nrm = jnp.cross(w1 - w0, w2 - w0)
@@ -147,8 +184,8 @@ def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
             jnp.stack([ids[..., 0], ids[..., 2], ids[..., 1]], axis=-1),
             ids,
         )
-        ids = jnp.where(rmask[..., None], ids, -1)
-        return ids, rmask.sum(axis=-1).astype(jnp.int32)
+        ids = jnp.where(rmask2[..., None], ids, -1)
+        return ids, rmask2.sum(axis=-1).astype(jnp.int32)
 
     # chunk over voxels to bound the (chunk, T, K) incircle intermediate
     pad = (-A) % chunk
@@ -162,13 +199,5 @@ def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
         one_chunk,
         (reshape_c(pts), reshape_c(pmask), reshape_c(gidx), reshape_c(vox_key)),
     )
-    ids = ids.reshape(n_chunks * chunk, C, 3)[:A]
-    counts = counts.reshape(-1)[:A]
-
-    # replace the owning voxels' triangle lists wholesale
-    V = store.tri_n.shape[0]
-    tgt = jnp.where(smask, slots, V)
-    tri_ids = store.tri_ids.at[tgt].set(ids, mode="drop")
-    tri_n = store.tri_n.at[tgt].set(counts, mode="drop")
-    dirty = store.dirty.at[tgt].set(True, mode="drop")
-    return store.replace(tri_ids=tri_ids, tri_n=tri_n, dirty=dirty)
+    return (ids.reshape(n_chunks * chunk, C, 3)[:A],
+            counts.reshape(-1)[:A])
