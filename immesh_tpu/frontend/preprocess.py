@@ -115,6 +115,27 @@ def kitti_vertical_angle_calib(xyz: np.ndarray) -> np.ndarray:
     return out
 
 
+def decode_raw_buffer(buf, n_points: int, layout: str,
+                      cfg: PreprocessConfig, stamp: float = 0.0,
+                      duration: float = 0.1) -> RawScan:
+    """Decode a raw strided sensor buffer (PointCloud2-style) into a RawScan
+    using the native scanpack path when built (fused gates in C++, see
+    native/scanpack.cpp), mirroring the reference's byte-level handlers
+    (preprocess.cpp:277-898)."""
+    from immesh_tpu.frontend import native as _native
+
+    step, off_xyz, t_off, t_dt, t_sc, ring_off, ring_dt = \
+        _native.LAYOUTS[layout]
+    xyz, t, ring = _native.decode_filter(
+        buf, n_points, point_step=step, off_xyz=off_xyz,
+        t_off=t_off, t_dtype=t_dt, t_scale=t_sc,
+        ring_off=ring_off, ring_dtype=ring_dt,
+        blind=cfg.blind, max_range=cfg.max_range,
+        filter_num=cfg.point_filter_num, want_ring=True)
+    return RawScan(xyz=xyz, time_off=t / cfg.timestamp_unit, ring=ring,
+                   stamp=stamp, duration=duration)
+
+
 # ----------------------------------------------------------------------
 # Dataset readers
 # ----------------------------------------------------------------------
