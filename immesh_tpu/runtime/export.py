@@ -77,6 +77,44 @@ def save_pcd(path: str, pts: np.ndarray) -> None:
         f.write(pts.tobytes())
 
 
+def load_pcd(path: str) -> np.ndarray:
+    """Read a PCD v0.7 point cloud (ascii or binary, x/y/z fields) — the
+    input of the offline meshing mode (reference loadPCDFile,
+    ImMesh_node.cpp:235-249)."""
+    with open(path, "rb") as f:
+        fields, sizes, types, counts = [], [], [], []
+        n_pts, data_mode = 0, "ascii"
+        while True:
+            line = f.readline().decode("latin1").strip()
+            if line.startswith("FIELDS"):
+                fields = line.split()[1:]
+            elif line.startswith("SIZE"):
+                sizes = [int(x) for x in line.split()[1:]]
+            elif line.startswith("TYPE"):
+                types = line.split()[1:]
+            elif line.startswith("COUNT"):
+                counts = [int(x) for x in line.split()[1:]]
+            elif line.startswith("POINTS"):
+                n_pts = int(line.split()[1])
+            elif line.startswith("DATA"):
+                data_mode = line.split()[1]
+                break
+        if not counts:
+            counts = [1] * len(fields)
+        np_types = {("F", 4): "<f4", ("F", 8): "<f8", ("U", 1): "u1",
+                    ("U", 2): "<u2", ("U", 4): "<u4", ("I", 4): "<i4"}
+        dt = np.dtype([
+            (name if counts[i] == 1 else name, np_types[(types[i], sizes[i])],
+             (counts[i],) if counts[i] > 1 else ())
+            for i, name in enumerate(fields)])
+        if data_mode == "ascii":
+            rows = np.loadtxt(f, dtype=np.float64, max_rows=n_pts)
+            cols = {name: rows[:, i] for i, name in enumerate(fields[:rows.shape[1]])}
+            return np.stack([cols["x"], cols["y"], cols["z"]], -1).astype(np.float32)
+        rec = np.frombuffer(f.read(n_pts * dt.itemsize), dtype=dt, count=n_pts)
+        return np.stack([rec["x"], rec["y"], rec["z"]], -1).astype(np.float32)
+
+
 def smooth_vertices(verts: np.ndarray, faces: np.ndarray,
                     iterations: int = 1, lam: float = 0.5) -> np.ndarray:
     """Laplacian smoothing over the mesh graph (reference `smooth_pts` does a
