@@ -27,12 +27,17 @@ from immesh_tpu.mesh.triangles import TriangleStore, mesh_voxels
 def mesh_step(gm: GlobalPointMap, store: TriangleStore,
               pts_world: jnp.ndarray, mask: jnp.ndarray,
               sensor_pos: jnp.ndarray, chunk: int = 16
-              ) -> Tuple[GlobalPointMap, TriangleStore, jnp.ndarray]:
-    """Append one world-frame scan and re-mesh the active voxels."""
+              ):
+    """Append one world-frame scan and re-mesh the active voxels.
+
+    Also returns the active (slots, smask) work list so downstream consumers
+    (e.g. the texture renderer, immesh_tpu/texture/render.py) can reuse the
+    same recently-visited-voxel set the reference shares between meshing and
+    colorization (pointcloud_rgbd.cpp `m_voxels_recent_visited`)."""
     gm, slots, smask = gm.append_frame(pts_world, mask)
     store = mesh_voxels(gm, store, slots, smask, sensor_pos, chunk)
     gm = gm.mark_meshed(slots, smask)
-    return gm, store, jnp.sum(smask.astype(jnp.int32))
+    return gm, store, jnp.sum(smask.astype(jnp.int32)), slots, smask
 
 
 class MeshPipeline:
@@ -43,6 +48,9 @@ class MeshPipeline:
         self.gm = GlobalPointMap.create(cfg.mesh)
         self.store = TriangleStore.create(cfg.mesh)
         self.frame_idx = 0
+        # active work list of the most recent step (device arrays), reused by
+        # the texture renderer
+        self.last_active = None
 
     def step(self, pts_world, mask, sensor_pos) -> int:
         # shape check only — never np.asarray the scan here, it may be a
@@ -50,10 +58,11 @@ class MeshPipeline:
         if pts_world.shape[0] == 0:  # static shapes need ≥1 row; mask it out
             pts_world = np.zeros((1, 3), np.float32)
             mask = np.zeros(1, bool)
-        self.gm, self.store, n_active = mesh_step(
+        self.gm, self.store, n_active, slots, smask = mesh_step(
             self.gm, self.store, jnp.asarray(pts_world), jnp.asarray(mask),
             jnp.asarray(sensor_pos), self.cfg.mesh.mesh_chunk,
         )
+        self.last_active = (slots, smask)
         self.frame_idx += 1
         return int(n_active)
 

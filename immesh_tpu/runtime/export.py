@@ -25,8 +25,12 @@ import jax
 # PLY / PCD
 # ----------------------------------------------------------------------
 
-def save_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Binary PLY (same element layout the reference writes)."""
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
+             colors: Optional[np.ndarray] = None) -> None:
+    """Binary PLY (same element layout the reference writes); `colors` is an
+    optional (V, 3) uint8/float array of per-vertex RGB — written when the
+    texture path (immesh_tpu.texture) has colorized the map, mirroring the
+    reference's textured-mesh application (README.md texture section)."""
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     with open(path, "wb") as f:
@@ -34,33 +38,54 @@ def save_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
         f.write(b"comment immesh_tpu mesh\n")
         f.write(f"element vertex {len(verts)}\n".encode())
         f.write(b"property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write(b"property uchar red\nproperty uchar green\n"
+                    b"property uchar blue\n")
         f.write(f"element face {len(faces)}\n".encode())
         f.write(b"property list uchar int vertex_index\nend_header\n")
-        f.write(verts.tobytes())
-        three = np.full((len(faces), 1), 3, np.uint8)
+        if colors is None:
+            f.write(verts.tobytes())
+        else:
+            c = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+            rec = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = verts
+            rec["rgb"] = c
+            f.write(rec.tobytes())
         rec = np.zeros(len(faces), dtype=[("n", "u1"), ("v", "<i4", 3)])
         rec["n"] = 3
         rec["v"] = faces
         f.write(rec.tobytes())
 
 
-def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Read back a binary PLY written by save_ply (for tests/round-trips)."""
+def load_ply(path: str):
+    """Read back a binary PLY written by save_ply (for tests/round-trips).
+    Returns (verts, faces) or (verts, faces, colors) when color properties
+    are present."""
     with open(path, "rb") as f:
         n_v = n_f = 0
+        has_color = False
         while True:
             line = f.readline().strip()
             if line.startswith(b"element vertex"):
                 n_v = int(line.split()[-1])
+            elif line.startswith(b"property uchar red"):
+                has_color = True
             elif line.startswith(b"element face"):
                 n_f = int(line.split()[-1])
             elif line == b"end_header":
                 break
-        verts = np.frombuffer(f.read(n_v * 12), "<f4").reshape(n_v, 3)
+        if has_color:
+            vrec = np.frombuffer(
+                f.read(n_v * 15), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            verts, colors = vrec["xyz"].copy(), vrec["rgb"].copy()
+        else:
+            verts = np.frombuffer(f.read(n_v * 12), "<f4").reshape(n_v, 3).copy()
+            colors = None
         rec = np.frombuffer(
             f.read(n_f * 13), dtype=[("n", "u1"), ("v", "<i4", 3)]
         )
-        return verts.copy(), rec["v"].copy()
+        faces = rec["v"].copy()
+        return (verts, faces, colors) if has_color else (verts, faces)
 
 
 def save_pcd(path: str, pts: np.ndarray) -> None:
