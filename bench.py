@@ -41,13 +41,16 @@ def main() -> None:
     from immesh_tpu.frontend.sim import LidarImuSimulator
     from immesh_tpu.frontend.types import ScanBundle
     from immesh_tpu.lio.pipeline import LioPipeline
-    from immesh_tpu.mesh.pipeline import MeshPipeline
+    from immesh_tpu.runtime.joint import JointPipeline
 
     cfg = PRESETS["sim"]()
     sim = LidarImuSimulator(n_rays=cfg.preprocess.max_points, seed=0)
-    lio = LioPipeline(cfg)
+    if args.lio_only:
+        lio, mesh = LioPipeline(cfg), None
+    else:
+        pipe = JointPipeline(cfg)      # fused 1-program/frame odom+mesh
+        lio, mesh = pipe.lio, pipe.mesh
     lio.static_init(*sim.static_imu(100))
-    mesh = None if args.lio_only else MeshPipeline(cfg)
 
     def bundle(k):
         f = sim.frame(k)
@@ -59,9 +62,10 @@ def main() -> None:
     frames = [bundle(k) for k in range(args.warmup + args.frames)]
 
     def step(b):
-        world_scan, _ = lio.step(b)
-        if mesh is not None:
-            mesh.step(world_scan, b.mask, lio.state.pos)
+        if mesh is None:
+            lio.step(b)
+        else:
+            pipe.step(b)
 
     for k in range(args.warmup):
         step(frames[k])

@@ -52,7 +52,13 @@ class MeshPipeline:
         # the texture renderer
         self.last_active = None
 
-    def step(self, pts_world, mask, sensor_pos) -> int:
+    def step(self, pts_world, mask, sensor_pos):
+        """Returns the active-voxel count as a DEVICE scalar — callers that
+        want the number must int() it themselves.  Syncing here would chain
+        every frame to the previous mesh program's completion and kill the
+        async LIO/mesh pipelining (reference overlaps them with threads,
+        ImMesh_mesh_reconstruction.cpp:272-310; we overlap with async
+        dispatch)."""
         # shape check only — never np.asarray the scan here, it may be a
         # device array handed straight from the LIO step (no host round-trip)
         if pts_world.shape[0] == 0:  # static shapes need ≥1 row; mask it out
@@ -64,7 +70,7 @@ class MeshPipeline:
         )
         self.last_active = (slots, smask)
         self.frame_idx += 1
-        return int(n_active)
+        return n_active
 
     # ------------------------------------------------------------------
     def extract(self) -> Tuple[np.ndarray, np.ndarray]:

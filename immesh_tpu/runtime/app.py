@@ -70,8 +70,8 @@ class ImMeshRuntime:
             # reference decimates to ≤number_of_pts_append_to_map points
             # before appending (ImMesh_mesh_reconstruction.cpp:111); our
             # bundles are already capped by preprocess.max_points
-            n_active = self.mesh.step(
-                world_scan, bundle.mask, self.lio.state.pos)
+            n_active = int(self.mesh.step(
+                world_scan, bundle.mask, self.lio.state.pos))
             mesh_ms = self.timer.toc("mesh")
 
         pos = np.asarray(self.lio.state.pos)
