@@ -169,29 +169,28 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     eta = 256.0 * eps_scale * scale * scale
     lift = lift + eta[:, None] * tb
 
-    pa = uv[:, tris[:, 0]]                        # (A, T, 2)
-    pb = uv[:, tris[:, 1]]
-    pc = uv[:, tris[:, 2]]
-    la = lift[:, tris[:, 0]]                      # (A, T)
-    lb = lift[:, tris[:, 1]]
-    lc = lift[:, tris[:, 2]]
+    # Everything below stays strictly (A, T)-shaped with T on the lane axis:
+    # stacked (A, T, 2/3) intermediates put a size-2/3 axis minor-most, which
+    # XLA lane-pads/relayouts — that cost dominated the meshing frame time.
+    ia, ib, ic = tris[:, 0], tris[:, 1], tris[:, 2]
+    tk = lambda x, idx: jnp.take(x, idx, axis=1)  # (A,K) -> (A,T)  # noqa: E731
+    ua, va, la = tk(u, ia), tk(v, ia), tk(lift, ia)
+    ub, vb, lb = tk(u, ib), tk(v, ib), tk(lift, ib)
+    uc, vc, lc = tk(u, ic), tk(v, ic), tk(lift, ic)
 
-    e1 = pb - pa
-    e2 = pc - pa
-    area2 = e1[..., 0] * e2[..., 1] - e1[..., 1] * e2[..., 0]   # signed 2·area
+    e1u, e1v, e1l = ub - ua, vb - va, lb - la
+    e2u, e2v, e2l = uc - ua, vc - va, lc - la
+    area2 = e1u * e2v - e1v * e2u                 # signed 2·area
     ccw = jnp.sign(area2)
     min_area = eps_scale * scale[:, None] ** 2
     nondeg = jnp.abs(area2) > min_area
 
-    # lifted plane through (a,b,c): normal = (B−A)×(C−A) in 3-D lift space
-    d1 = jnp.stack([e1[..., 0], e1[..., 1], lb - la], axis=-1)  # (A, T, 3)
-    d2 = jnp.stack([e2[..., 0], e2[..., 1], lc - la], axis=-1)
-    nrm = jnp.cross(d1, d2)                                      # (A, T, 3)
-    # orient so the z-component (=2·area) is positive (CCW convention)
-    nrm = nrm * ccw[..., None]
-    off = (
-        nrm[..., 0] * pa[..., 0] + nrm[..., 1] * pa[..., 1] + nrm[..., 2] * la
-    )                                                            # (A, T)
+    # lifted plane through (a,b,c): normal = (B−A)×(C−A) in 3-D lift space,
+    # oriented so the z-component (=2·area) is positive (CCW convention)
+    nx = (e1v * e2l - e1l * e2v) * ccw            # (A, T)
+    ny = (e1l * e2u - e1u * e2l) * ccw
+    nz = area2 * ccw
+    off = nx * ua + ny * va + nz * la             # (A, T)
 
     # scores = planes · lifted points ; inside ⇔ score < −ε
     eps = eps_scale * scale[:, None] ** 4                        # (A, 1)
@@ -208,13 +207,15 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
         lifted8 = lifted8.at[:A, 2, :K].set(lift * w)
         lifted8 = lifted8.at[:A, 3, :K].set(w)
         planes8 = jnp.zeros((Ap, 8, Tp), jnp.float32)
-        planes8 = planes8.at[:A, 0:3, :T].set(jnp.swapaxes(nrm, 1, 2))
+        planes8 = planes8.at[:A, 0, :T].set(nx)
+        planes8 = planes8.at[:A, 1, :T].set(ny)
+        planes8 = planes8.at[:A, 2, :T].set(nz)
         planes8 = planes8.at[:A, 3, :T].set(-off)
         min_s = _incircle_min_scores(lifted8, planes8, tt=1024)[:A, :T]
         # own vertices score ±f32-rounding ≈ 1e-7·s⁴ ≪ ε — no exclusion needed
         bad = min_s < -eps
     else:
-        planes = jnp.concatenate([nrm, -off[..., None]], axis=-1)  # (A, T, 4)
+        planes = jnp.stack([nx, ny, nz, -off], axis=-1)            # (A, T, 4)
         lifted = jnp.stack(
             [u, v, lift, jnp.ones_like(u)], axis=-1)               # (A, K, 4)
         scores = jnp.einsum("atc,akc->atk", planes, lifted)

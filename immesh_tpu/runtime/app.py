@@ -52,6 +52,29 @@ class ImMeshRuntime:
         else:
             self.traj_log = TrajectoryLogger(None)
             self.cost_log = CostTimeLogger(None)
+        self._live = None
+        self._live_cache = None
+        self._live_sync_every = 5
+
+    # ------------------------------------------------------------------
+    def start_live_viewer(self, host: str = "127.0.0.1", port: int = 0,
+                          sync_every: int = 5) -> str:
+        """Serve the live WebGL mesh viewer (reference GUI window analogue,
+        ImMesh_node.cpp:298-525); returns its URL.  Dirty regions are synced
+        to the host cache every `sync_every` frames (the reference uses a
+        100 ms sync thread, mesh_rec_display.cpp:262-271)."""
+        assert self.mesh is not None, "live viewer needs meshing enabled"
+        from immesh_tpu.render.live import LiveMeshServer, RegionCache
+        self._live_cache = RegionCache(self.cfg.mesh.region_size,
+                                       self.cfg.mesh.voxel_resolution)
+        self._live = LiveMeshServer(self._live_cache, host, port).start()
+        self._live_sync_every = max(1, sync_every)
+        return self._live.url
+
+    def stop_live_viewer(self) -> None:
+        if self._live is not None:
+            self._live.stop()
+            self._live = None
 
     # ------------------------------------------------------------------
     def static_init(self, acc: np.ndarray, gyr: np.ndarray) -> None:
@@ -77,6 +100,11 @@ class ImMeshRuntime:
         pos = np.asarray(self.lio.state.pos)
         quat = np.asarray(so3.rot_to_quat(self.lio.state.rot))  # wxyz
         self.traj_log.record(t, pos, (*quat[1:4], quat[0]))
+        if self._live is not None:
+            self._live.record_pose(t, pos, (*quat[1:4], quat[0]))
+            if self.frame_idx % self._live_sync_every == 0:
+                self.mesh.store = self._live_cache.sync(
+                    self.mesh.gm, self.mesh.store)
         self.cost_log.record(self.frame_idx, mesh_ms, n_active, lio_ms)
         self.frame_idx += 1
         return {

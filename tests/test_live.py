@@ -1,0 +1,143 @@
+"""Live mesh viewer (render/live.py): dirty-region host cache + HTTP server —
+the TPU-native stand-in for the reference's GUI sync thread + per-region VBOs
+(mesh_rec_display.cpp:220-282)."""
+
+import http.client
+import json
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from immesh_tpu.config import PRESETS
+from immesh_tpu.mesh.pipeline import MeshPipeline
+from immesh_tpu.render.live import _MAGIC, LiveMeshServer, RegionCache
+
+
+@pytest.fixture(scope="module")
+def meshed():
+    """A small meshed pipeline: two noisy ground-plane frames."""
+    cfg = PRESETS["sim"]()
+    cfg = cfg.replace(mesh=cfg.mesh.__class__(
+        points_capacity=2 ** 14, voxel_capacity=2 ** 10,
+        active_voxels_per_frame=64, mesh_chunk=8))
+    pipe = MeshPipeline(cfg)
+    rng = np.random.default_rng(3)
+    for _ in range(2):
+        pts = rng.uniform(-3, 3, (2048, 3)).astype(np.float32)
+        pts[:, 2] = 0.01 * rng.standard_normal(2048)
+        pipe.step(jnp.asarray(pts), jnp.ones(2048, bool),
+                  jnp.zeros(3, jnp.float32))
+    return cfg, pipe
+
+
+class TestRegionCache:
+    def test_sync_drains_dirty_and_builds_regions(self, meshed):
+        cfg, pipe = meshed
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        store = cache.sync(pipe.gm, pipe.store)
+        st = cache.stats()
+        assert st["n_triangles"] > 0
+        assert st["n_regions"] >= 1
+        assert st["seq"] == 1
+        # the returned store has its dirty flags cleared
+        assert not np.asarray(store.dirty).any()
+        # second sync with nothing dirty is a no-op
+        seq0 = cache.seq
+        cache.sync(pipe.gm, store)
+        assert cache.seq == seq0
+
+    def test_region_bytes_roundtrip(self, meshed):
+        cfg, pipe = meshed
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        cache.sync(pipe.gm, pipe.store)
+        rid = cache.changed_since(0)[0]
+        raw = cache.region_bytes(rid)
+        magic, rx, ry, rz, n = struct.unpack_from("<Iiiii", raw)
+        assert magic == _MAGIC and (rx, ry, rz) == rid
+        tris = np.frombuffer(raw, "<f4", offset=20).reshape(n, 3, 3)
+        assert np.isfinite(tris).all()
+        # every triangle's centroid lies inside its 10 m region cube
+        cen = tris.mean(axis=1)
+        np.testing.assert_array_equal(
+            np.floor(cen / cfg.mesh.region_size).astype(int),
+            np.tile(rid, (n, 1)))
+
+    def test_changed_since_tracks_seq(self, meshed):
+        cfg, pipe = meshed
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        cache.sync(pipe.gm, pipe.store)
+        assert cache.changed_since(0)
+        assert cache.changed_since(cache.seq) == []
+
+
+class TestServer:
+    def _get(self, port, path):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", path)
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        return r.status, body
+
+    def test_endpoints(self, meshed):
+        cfg, pipe = meshed
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        cache.sync(pipe.gm, pipe.store)
+        srv = LiveMeshServer(cache).start()
+        try:
+            srv.record_pose(0.1, [1.0, 2.0, 3.0])
+            code, html = self._get(srv.port, "/")
+            assert code == 200 and b"webgl2" in html
+            code, body = self._get(srv.port, "/state?since=0")
+            st = json.loads(body)
+            assert st["n_triangles"] > 0 and st["changed"]
+            assert st["traj"][0][1:4] == [1.0, 2.0, 3.0]
+            rid = st["changed"][0]
+            code, raw = self._get(srv.port, f"/region/{rid[0]},{rid[1]},{rid[2]}")
+            assert code == 200
+            assert struct.unpack_from("<I", raw)[0] == _MAGIC
+            code, _ = self._get(srv.port, "/region/not,a,number")
+            assert code == 400
+            code, _ = self._get(srv.port, "/nope")
+            assert code == 404
+            # since=seq → nothing new
+            code, body = self._get(srv.port, f"/state?since={st['seq']}")
+            assert json.loads(body)["changed"] == []
+        finally:
+            srv.stop()
+
+    def test_runtime_integration(self):
+        """ImMeshRuntime.start_live_viewer serves the live mesh."""
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+        from immesh_tpu.frontend.types import ScanBundle
+        from immesh_tpu.runtime.app import ImMeshRuntime
+
+        cfg = PRESETS["sim"]()
+        cfg = cfg.replace(
+            preprocess=cfg.preprocess.__class__(
+                lidar_type=cfg.preprocess.lidar_type, max_points=2048),
+            mesh=cfg.mesh.__class__(
+                points_capacity=2 ** 14, voxel_capacity=2 ** 10,
+                active_voxels_per_frame=64, mesh_chunk=8))
+        rt = ImMeshRuntime(cfg)
+        sim = LidarImuSimulator(n_rays=2048, seed=0)
+        rt.static_init(*sim.static_imu(100))
+        url = rt.start_live_viewer(sync_every=1)
+        try:
+            for k in range(2):
+                f = sim.frame(k)
+                b = ScanBundle.from_numpy(
+                    f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+                    f.scan_duration, 2048, cfg.imu.max_imu_per_scan)
+                rt.process_frame(b, t=0.1 * k)
+            port = int(url.rsplit(":", 1)[1].rstrip("/"))
+            code, body = self._get(port, "/state?since=0")
+            st = json.loads(body)
+            assert code == 200
+            assert st["n_triangles"] > 0
+            assert len(st["traj"]) == 2
+        finally:
+            rt.stop_live_viewer()
