@@ -253,15 +253,17 @@ def compact_triangles(keep: jnp.ndarray, tris: jnp.ndarray, cap: int
     """Per-voxel compaction (A, T) bool → (A, cap) candidate-row ids, mask.
 
     Overflow beyond `cap` kept triangles per voxel is dropped (bounded loss,
-    like the reference's queue back-pressure drops)."""
+    like the reference's queue back-pressure drops).
+
+    Implemented as a top-k selection, NOT a cumsum+scatter: a scatter with
+    A·T indices serializes on TPU and dominated the meshing frame time
+    (~43 ms/frame at A=64, T=17k); top_k of a rank key is a parallel
+    partial sort and keeps the same first-cap-in-order semantics."""
     A, T = keep.shape
-    pos = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1       # (A, T)
-    ok = keep & (pos < cap)
-    flat_tgt = jnp.where(
-        ok, jnp.arange(A, dtype=jnp.int32)[:, None] * cap + pos, A * cap
-    )
-    out = jnp.full(A * cap, -1, jnp.int32).at[flat_tgt.reshape(-1)].set(
-        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (A, T)).reshape(-1),
-        mode="drop",
-    ).reshape(A, cap)
-    return out, out >= 0
+    # kept candidates rank by ascending position (T−i > 0); dropped rank −1
+    rank = jnp.where(keep,
+                     jnp.int32(T) - jnp.arange(T, dtype=jnp.int32)[None, :],
+                     jnp.int32(-1))
+    top_rank, rows = jax.lax.top_k(rank, cap)                   # (A, cap)
+    rmask = top_rank > 0
+    return jnp.where(rmask, rows, -1), rmask
