@@ -187,6 +187,8 @@ def preset_avia() -> ImMeshConfig:
     """Livox Avia + IMU (reference config/avia.yaml)."""
     return ImMeshConfig(
         preprocess=PreprocessConfig(lidar_type=LidarType.AVIA, n_scans=6, blind=0.1),
+        # reference config/avia.yaml mapping/extrinsic_T
+        imu=ImuConfig(extrinsic_t=(0.04165, 0.02326, -0.0284)),
         voxel_map=VoxelMapConfig(voxel_size=0.5),
         lio=LioConfig(max_iterations=4),
     )
@@ -199,7 +201,9 @@ def preset_kitti() -> ImMeshConfig:
             lidar_type=LidarType.KITTI64, n_scans=64, blind=1.0, calib_laser=True,
             max_points=131072,
         ),
-        imu=ImuConfig(imu_en=False),
+        # acc/gyr cov act as velocity / angular-rate random walks in IMU-less
+        # mode (reference velodyne.yaml acc_cov: 1.0, gyr_cov: 0.5)
+        imu=ImuConfig(imu_en=False, acc_cov=1.0, gyr_cov=0.5),
         voxel_map=VoxelMapConfig(voxel_size=3.0, max_points_per_voxel=1000),
         lio=LioConfig(max_iterations=3, downsample_voxel=0.5),
         mesh=MeshConfig(pts_minimum_scale=0.15, voxel_resolution=0.6),
@@ -210,6 +214,8 @@ def preset_nclt() -> ImMeshConfig:
     """Velodyne-32 NCLT (reference config/nclt.yaml)."""
     return ImMeshConfig(
         preprocess=PreprocessConfig(lidar_type=LidarType.VELO32, n_scans=32, blind=2.0),
+        # reference config/nclt.yaml mapping/extrinsic_T
+        imu=ImuConfig(extrinsic_t=(0.0, 0.0, 0.28)),
         voxel_map=VoxelMapConfig(voxel_size=2.0),
         lio=LioConfig(max_iterations=2),
     )
@@ -219,6 +225,8 @@ def preset_ntu() -> ImMeshConfig:
     """Ouster-64 NTU-VIRAL (reference config/ntu.yaml)."""
     return ImMeshConfig(
         preprocess=PreprocessConfig(lidar_type=LidarType.OUST64, n_scans=64, blind=1.0),
+        # reference config/ntu.yaml mapping/extrinsic_T
+        imu=ImuConfig(extrinsic_t=(-0.050, 0.000, 0.055)),
         voxel_map=VoxelMapConfig(voxel_size=1.0),
         lio=LioConfig(max_iterations=4),
     )

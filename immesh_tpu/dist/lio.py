@@ -51,8 +51,10 @@ def _dp_lio_body(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
         pts_end = imu_mod.deskew(seg, state_prop, bundle.pts, bundle.t_rel)
     else:
         state_prop = imu_mod.const_velocity_propagate(
-            state, bundle.scan_duration)
-        pts_end = bundle.pts
+            state, bundle.scan_duration, imu_cfg)
+        pts_end = imu_mod.deskew_const_twist(
+            bundle.pts, bundle.t_rel, bundle.scan_duration,
+            state.bg * bundle.scan_duration, state.vel * bundle.scan_duration)
 
     # 2. per-shard downsample (shards own disjoint point subsets; cross-shard
     #    voxel duplicates just contribute a few extra residual rows)

@@ -194,8 +194,10 @@ def _sharded_lio_body(state: EsikfState, svm: ShardedVoxelMap,
         pts_end = imu_mod.deskew(seg, state_prop, bundle.pts, bundle.t_rel)
     else:
         state_prop = imu_mod.const_velocity_propagate(
-            state, bundle.scan_duration)
-        pts_end = bundle.pts
+            state, bundle.scan_duration, imu_cfg)
+        pts_end = imu_mod.deskew_const_twist(
+            bundle.pts, bundle.t_rel, bundle.scan_duration,
+            state.bg * bundle.scan_duration, state.vel * bundle.scan_duration)
 
     down_pts, down_mask = voxel_downsample(
         pts_end, bundle.mask, lio_cfg.downsample_voxel,

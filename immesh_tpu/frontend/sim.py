@@ -138,9 +138,19 @@ class LidarImuSimulator:
                  imu_rate: float = 200.0, n_rays: int = 4096, rings: int = 16,
                  range_noise: float = 0.01, max_range: float = 60.0,
                  accel_noise: float = 0.02, gyro_noise: float = 0.002,
-                 gravity: float = 9.81, seed: int = 0):
+                 gravity: float = 9.81, seed: int = 0,
+                 ext_r=None, ext_t=None, clockwise: bool = False):
         self.scene = scene if scene is not None else default_scene()
         self.traj = traj if traj is not None else Trajectory()
+        # LiDAR→IMU extrinsics: the LiDAR sits at pose (ext_r, ext_t) in the
+        # IMU/body frame; emitted points are in the LIDAR frame (matching real
+        # sensors — the reference composes extrinsic_T/R to undo this,
+        # voxel_mapping_common.cpp:625-707)
+        self.ext_r = np.eye(3) if ext_r is None else np.asarray(ext_r, float)
+        self.ext_t = np.zeros(3) if ext_t is None else np.asarray(ext_t, float)
+        # real Velodynes sweep clockwise seen from above — the direction the
+        # frontend's azimuth→time synthesis assumes (preprocess.cpp:515-528)
+        self.clockwise = clockwise
         self.scan_T = 1.0 / scan_rate
         self.imu_dt = 1.0 / imu_rate
         self.n_rays = n_rays
@@ -179,7 +189,8 @@ class LidarImuSimulator:
     def _ray_dirs_body(self, phase: float) -> Tuple[np.ndarray, np.ndarray]:
         """Spinning pattern: azimuth sweep + cycling rings. Returns dirs, t_rel."""
         i = np.arange(self.n_rays)
-        az = 2 * np.pi * (i / self.n_rays) + phase
+        sweep = -1.0 if self.clockwise else 1.0
+        az = sweep * 2 * np.pi * (i / self.n_rays) + phase
         el = np.deg2rad(np.linspace(-20, 5, self.rings))[i % self.rings]
         d = np.stack(
             [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=1
@@ -208,12 +219,15 @@ class LidarImuSimulator:
         R_t = Rg[idx]
         p_t = pg[idx]
 
-        dirs_w = np.einsum("nij,nj->ni", R_t, dirs_b)
-        rng_hit = self._raycast(p_t, dirs_w)
+        # LiDAR pose = body pose ∘ extrinsic; rays cast from the LiDAR origin
+        R_lid = R_t @ self.ext_r
+        p_lid = p_t + np.einsum("nij,j->ni", R_t, self.ext_t)
+        dirs_w = np.einsum("nij,nj->ni", R_lid, dirs_b)
+        rng_hit = self._raycast(p_lid, dirs_w)
         ok = np.isfinite(rng_hit) & (rng_hit < self.max_range)
         rng_meas = rng_hit + self.rng.normal(size=self.n_rays) * self.range_noise
-        pts = dirs_b * rng_meas[:, None]
-        gt_pts_world = p_t + dirs_w * rng_meas[:, None]
+        pts = dirs_b * rng_meas[:, None]  # LiDAR frame
+        gt_pts_world = p_lid + dirs_w * rng_meas[:, None]
         pts = pts[ok]
         t_rel = t_rel[ok]
         gt_pts_world = gt_pts_world[ok]

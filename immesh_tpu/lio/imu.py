@@ -122,15 +122,34 @@ def imu_propagate(state: EsikfState, bundle: ScanBundle, cfg: ImuConfig
 
 
 def const_velocity_propagate(state: EsikfState, dt: jnp.ndarray,
-                             pos_cov: float = 1e-2, rot_cov: float = 1e-3
-                             ) -> EsikfState:
+                             cfg: ImuConfig) -> EsikfState:
     """IMU-less propagation (reference Forward_without_imu,
-    IMU_Processing.cpp:486-553): constant velocity, inflate covariance."""
+    IMU_Processing.cpp:486-553).
+
+    The reference repurposes the gyro-bias slot as the ESTIMATED BODY ANGULAR
+    RATE in this mode: `rot_end ← rot_end · Exp(bias_g · dt)` with the F-matrix
+    coupling block(θ, b_g) = I·dt, so measurement updates refine the rate
+    through the cross covariance and the filter carries the previous frames'
+    relative rotation forward — exactly the constant-twist model.  We mirror
+    that: `state.bg` is the body rate ω̂ and `state.vel` the linear velocity.
+    `cfg.gyr_cov`/`cfg.acc_cov` act as the ω / velocity random walks
+    (reference cov_w blocks (9,9) and (6,6), IMU_Processing.cpp:538-539).
+    """
+    dtype = state.pos.dtype
+    dR = so3.exp(state.bg * dt)
+    rot = state.rot @ dR
     pos = state.pos + state.vel * dt
-    cov = state.cov
-    cov = cov.at[0:3, 0:3].add(jnp.eye(3, dtype=cov.dtype) * rot_cov * dt)
-    cov = cov.at[3:6, 3:6].add(jnp.eye(3, dtype=cov.dtype) * pos_cov * dt)
-    return state.replace(pos=pos, cov=cov)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    F = jnp.eye(STATE_DIM, dtype=dtype)
+    F = F.at[0:3, 0:3].set(dR.T)
+    F = F.at[0:3, 9:12].set(eye3 * dt)
+    F = F.at[3:6, 6:9].set(eye3 * dt)
+    Q = jnp.zeros((STATE_DIM, STATE_DIM), dtype)
+    Q = Q.at[9:12, 9:12].set(eye3 * cfg.gyr_cov * dt * dt)
+    Q = Q.at[6:9, 6:9].set(eye3 * cfg.acc_cov * dt * dt)
+    cov = F @ state.cov @ F.T + Q
+    return state.replace(rot=rot, pos=pos, cov=cov)
 
 
 def deskew(seg: PoseSegments, end_state: EsikfState, pts: jnp.ndarray,

@@ -39,16 +39,35 @@ def lio_step(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
     """
     lio_cfg, map_cfg, imu_cfg = cfg.lio, cfg.voxel_map, cfg.imu
 
+    # 0. LiDAR→IMU extrinsics: points arrive in the LiDAR frame; express them
+    # in the IMU/body frame the filter state lives in (reference composes
+    # Lid_rot_to_IMU/Lid_offset_to_IMU through UndistortPcl,
+    # IMU_Processing.cpp:925-956, and re-applies m_extR/m_extT per iteration,
+    # voxel_mapping.cpp:1312 — algebraically identical to converting once).
+    has_ext = (tuple(imu_cfg.extrinsic_t) != (0.0, 0.0, 0.0)
+               or tuple(imu_cfg.extrinsic_r) != (1.0, 0.0, 0.0,
+                                                 0.0, 1.0, 0.0,
+                                                 0.0, 0.0, 1.0))
+    if has_ext:
+        r_ext = jnp.asarray(imu_cfg.extrinsic_r, bundle.pts.dtype).reshape(3, 3)
+        t_ext = jnp.asarray(imu_cfg.extrinsic_t, bundle.pts.dtype)
+        pts_body = bundle.pts @ r_ext.T + t_ext
+    else:
+        pts_body = bundle.pts
+
     # 1. propagate + deskew (reference Process2 → Forward/UndistortPcl)
     if imu_cfg.imu_en:
         state_prop, seg = imu_mod.imu_propagate(state, bundle, imu_cfg)
-        pts_end = imu_mod.deskew(seg, state_prop, bundle.pts, bundle.t_rel)
+        pts_end = imu_mod.deskew(seg, state_prop, pts_body, bundle.t_rel)
     else:
-        state_prop = imu_mod.const_velocity_propagate(state, bundle.scan_duration)
-        rel_rot = jnp.zeros(3, bundle.pts.dtype)  # carry of prev rel pose TODO
+        # constant-twist model: the filter's bg slot carries the estimated
+        # body angular rate (reference Forward_without_imu semantics), so the
+        # deskew twist is {ω̂·T, v·T} — the previous frames' relative motion.
+        state_prop = imu_mod.const_velocity_propagate(
+            state, bundle.scan_duration, imu_cfg)
         pts_end = imu_mod.deskew_const_twist(
-            bundle.pts, bundle.t_rel, bundle.scan_duration,
-            rel_rot, state.vel * bundle.scan_duration,
+            pts_body, bundle.t_rel, bundle.scan_duration,
+            state.bg * bundle.scan_duration, state.vel * bundle.scan_duration,
         )
 
     # 2. scan downsample for registration/map (reference downSizeFilterSurf)
@@ -57,7 +76,15 @@ def lio_step(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
     )
 
     # 3. iterated ESIKF update (reference lio_state_estimation)
-    pcov = lidar_point_cov_body(down_pts, map_cfg.dept_err, map_cfg.beam_err)
+    # Beam-noise covariance is defined by the LiDAR-frame geometry (reference
+    # computes calcBodyVar on the lidar-frame point then rotates by extR,
+    # voxel_mapping.cpp:1305-1311 + :1521); recover the lidar-frame point.
+    if has_ext:
+        pcov_l = lidar_point_cov_body(
+            (down_pts - t_ext) @ r_ext, map_cfg.dept_err, map_cfg.beam_err)
+        pcov = jnp.einsum("ij,njk,lk->nil", r_ext, pcov_l, r_ext)
+    else:
+        pcov = lidar_point_cov_body(down_pts, map_cfg.dept_err, map_cfg.beam_err)
     state_new, diag = lio_update(
         state_prop, vm, down_pts, pcov, down_mask, lio_cfg, map_cfg
     )
