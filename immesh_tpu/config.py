@@ -82,6 +82,11 @@ class VoxelMapConfig:
     capacity: int = 2 ** 18                 # hash-table slots (power of two)
     max_probe: int = 32                     # open-addressing probe bound
     use_children: bool = True               # enable the 8-octant refinement level
+    # lifetime management (reference laser_map_fov_segment sliding cube,
+    # voxel_mapping_common.cpp:214-288; cube_side_length default 1000 m)
+    local_map_radius: float = 500.0         # keep radius on compaction, m
+    compact_high_water: float = 0.60        # occupancy fraction triggering compaction
+    compact_check_every: int = 32           # host occupancy-poll period, frames
 
 
 @dataclass(frozen=True)
@@ -118,6 +123,11 @@ class MeshConfig:
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
     max_tri_angle_deg: float = 150.0        # sliver filter (ref is_face_is_ok)
     max_edge_scale: float = 0.0             # optional edge cap ×min spacing (0 = off, like ref)
+    # lifetime management (reference recent-voxel expiry + RAM-bounded
+    # reserves, pointcloud_rgbd.cpp:278-294,425-455)
+    local_map_radius: float = 500.0         # keep radius on compaction, m
+    compact_high_water: float = 0.60        # point/voxel occupancy trigger
+    compact_check_every: int = 32           # host occupancy-poll period, frames
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,12 @@ def associate_stamps(t_a: np.ndarray, t_b: np.ndarray,
     each index used at most once, matched in order of ascending gap."""
     if t_a.size == 0 or t_b.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # searchsorted needs t_b ascending; traces aren't guaranteed sorted
+    # (merged logs, clock resets) — sort and translate indices back
+    if np.any(np.diff(t_b) < 0):
+        perm = np.argsort(t_b, kind="stable")
+        ia, ib = associate_stamps(t_a, t_b[perm], max_dt)
+        return ia, perm[ib]
     j = np.searchsorted(t_b, t_a)
     cand = []
     for i, jj in enumerate(j):

@@ -47,6 +47,14 @@ class PacketSynchronizer:
         self.imu_acc.append(np.asarray(acc, np.float32))
         self.imu_gyr.append(np.asarray(gyr, np.float32))
 
+    def consume_gap(self) -> bool:
+        """Return-and-clear the IMU-gap flag.  The runtime consumes this to
+        re-initialize the filter (reference m_flg_reset handling,
+        src/voxel_mapping.cpp:1791-1797)."""
+        flag = self.imu_gap_detected
+        self.imu_gap_detected = False
+        return flag
+
     def push_scan(self, scan: RawScan) -> None:
         if scan.stamp < self.last_scan_t:  # loop-back → clear (:296-299)
             self.scans.clear()

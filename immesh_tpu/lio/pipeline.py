@@ -119,9 +119,59 @@ class LioPipeline:
             jnp.asarray(acc), jnp.asarray(gyr), self.cfg.imu, self.state
         )
 
+    def reset_filter(self, keep_pose: bool = True) -> None:
+        """Re-initialize the filter after a stream anomaly (IMU gap / bag
+        restart) — the reference's m_flg_reset → ImuProcess::Reset path
+        (src/voxel_mapping.cpp:1791-1797).  Pose mean and gravity survive;
+        velocity and biases are zeroed and the covariance re-inflated (with
+        extra velocity uncertainty: the platform may have moved arbitrarily
+        during the gap) so the next updates re-converge from scratch."""
+        lio = self.cfg.lio
+        fresh = EsikfState.identity(
+            gravity=self.cfg.imu.gravity,
+            init_rot_cov=max(lio.init_rot_cov, 1e-3),
+            init_pos_cov=max(lio.init_pos_cov, 1e-2),
+            init_vel_cov=max(lio.init_vel_cov, 1.0),
+            init_bias_cov=lio.init_bias_cov,
+            init_grav_cov=lio.init_grav_cov,
+        )
+        if keep_pose:
+            fresh = fresh.replace(rot=self.state.rot, pos=self.state.pos,
+                                  grav=self.state.grav)
+        self.state = fresh
+
     def step(self, bundle: ScanBundle):
         self.state, self.vm, world_scan, diag = lio_step(
             self.state, self.vm, bundle, self.cfg
         )
         self.frame_idx += 1
+        self.maybe_compact()
         return world_scan, diag
+
+    def maybe_compact(self) -> bool:
+        """Occupancy-triggered map lifetime management (reference
+        laser_map_fov_segment, voxel_mapping_common.cpp:214-288): when the
+        hash table crosses the high-water mark, evict voxels outside the
+        local-map radius; if the map is genuinely dense, shrink the radius
+        until occupancy drops — never silently stop growing."""
+        mc = self.cfg.voxel_map
+        if mc.compact_check_every <= 0 or \
+                self.frame_idx % mc.compact_check_every != 0:
+            return False
+        high = mc.compact_high_water * mc.capacity
+        if int(self.vm.n_voxels()) <= high:
+            return False
+        radius = mc.local_map_radius
+        for _ in range(8):
+            self.vm = _compact_jit(
+                self.vm, self.state.pos, jnp.asarray(radius, jnp.float32))
+            if int(self.vm.n_voxels()) <= high:
+                break
+            radius *= 0.7
+        return True
+
+
+@jax.jit
+def _compact_jit(vm: VoxelMap, center: jnp.ndarray,
+                 radius: jnp.ndarray) -> VoxelMap:
+    return vm.compact(center, radius)

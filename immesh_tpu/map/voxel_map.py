@@ -254,3 +254,45 @@ class VoxelMap:
 
     def n_planes(self) -> jnp.ndarray:
         return jnp.sum(self.plane_valid)
+
+    # ==================================================================
+    # lifetime management (reference laser_map_fov_segment,
+    # voxel_mapping_common.cpp:214-288: sliding local-map cube + box deletes)
+    # ==================================================================
+    def compact(self, center: jnp.ndarray, keep_radius: float) -> "VoxelMap":
+        """Evict voxels outside a Chebyshev `keep_radius` cube around `center`
+        and rehash the survivors into a fresh table.
+
+        The reference box-deletes ikd-tree points when the sensor nears the
+        local-map edge; with open addressing, deletion = full rebuild (keeps
+        the probe-chain invariant, no tombstones).  One O(capacity) pass, run
+        occasionally from the host when occupancy crosses the high-water mark
+        — never in the per-frame hot loop.
+        """
+        cfg = self.cfg
+        keys = self.table.keys
+        live = keys[:, 0] != EMPTY
+        # per-key voxel center at its own level (children are half-size)
+        size = cfg.voxel_size / jnp.exp2(keys[:, 3].astype(self.sum_p.dtype))
+        vcen = (keys[:, :3].astype(self.sum_p.dtype) + 0.5) * size[:, None]
+        cheb = jnp.max(jnp.abs(vcen - center[None, :]), axis=-1)
+        keep = live & (cheb <= keep_radius)
+
+        fresh = HashTable.create(cfg.capacity, cfg.max_probe)
+        table, slots = fresh.insert(keys, keep)
+        ok = keep & (slots >= 0)
+        tgt = jnp.where(ok, slots, cfg.capacity)
+
+        def move(src):
+            return jnp.zeros_like(src).at[tgt].set(src, mode="drop")
+
+        return self.replace(
+            table=table,
+            sum_p=move(self.sum_p), sum_ppT=move(self.sum_ppT),
+            count=move(self.count), sigma2_sum=move(self.sigma2_sum),
+            normal=move(self.normal), d=move(self.d), center=move(self.center),
+            cov_nn=move(self.cov_nn), var_c=move(self.var_c),
+            lam=move(self.lam),
+            plane_valid=move(self.plane_valid),
+            subdivided=move(self.subdivided),
+        )

@@ -264,6 +264,11 @@ def compact_triangles(keep: jnp.ndarray, tris: jnp.ndarray, cap: int
     rank = jnp.where(keep,
                      jnp.int32(T) - jnp.arange(T, dtype=jnp.int32)[None, :],
                      jnp.int32(-1))
-    top_rank, rows = jax.lax.top_k(rank, cap)                   # (A, cap)
+    k = min(cap, T)  # top_k requires k ≤ T (configs with cap > candidates)
+    top_rank, rows = jax.lax.top_k(rank, k)                     # (A, k)
+    if k < cap:
+        top_rank = jnp.pad(top_rank, ((0, 0), (0, cap - k)),
+                           constant_values=-1)
+        rows = jnp.pad(rows, ((0, 0), (0, cap - k)))
     rmask = top_rank > 0
     return jnp.where(rmask, rows, -1), rmask

@@ -274,6 +274,81 @@ class GlobalPointMap:
     def n_points(self) -> jnp.ndarray:
         return self.pt_count
 
+    # ==================================================================
+    # lifetime management (reference bounds its working set by RAM reserves
+    # and recent-voxel expiry, pointcloud_rgbd.cpp:278-294,425-455; our
+    # fixed-capacity stores instead evict-outside-radius + compact, run from
+    # the host when occupancy crosses the high-water mark)
+    # ==================================================================
+    def compact(self, center: jnp.ndarray, keep_radius: float
+                ) -> Tuple["GlobalPointMap", dict]:
+        """Drop every meshing voxel (and its member points) outside a
+        Chebyshev `keep_radius` cube around `center`; rebuild both hash
+        tables and compact the point store.
+
+        Keep decisions are made at VOXEL granularity using the same formula
+        for voxels and points (a stored point's voxel is floor(p/res), the
+        key it was filed under in append_frame), so surviving vox_pt_idx rows
+        reference only surviving points.  Returns (new_map, maps) where
+        maps = {"idmap": (P,) old→new point id or -1,
+                "slot_map": (V,) old→new voxel slot or -1} for the triangle
+        store remap (mesh/triangles.py:remap_store).
+        """
+        cfg = self.cfg
+        P = cfg.points_capacity
+        V = self.vox_n.shape[0]
+        dtype = self.pts.dtype
+        res = cfg.voxel_resolution
+
+        def vox_keep_of_coords(c3):
+            vcen = (c3.astype(dtype) + 0.5) * res
+            return jnp.max(jnp.abs(vcen - center[None, :]), axis=-1) <= keep_radius
+
+        # ---- voxel table rebuild ----------------------------------------
+        vkeys = self.vox.keys
+        vlive = vkeys[:, 0] != EMPTY
+        vkeep = vlive & vox_keep_of_coords(vkeys[:, :3])
+        vox, vslots = HashTable.create(V, self.vox.max_probe).insert(vkeys, vkeep)
+        vok = vkeep & (vslots >= 0)
+        slot_map = jnp.where(vok, vslots, -1)
+
+        # ---- point keep + old→new id map --------------------------------
+        alloc = jnp.arange(P, dtype=jnp.int32) < self.pt_count
+        pc3 = jnp.floor(self.pts / res).astype(jnp.int32)
+        pkeep = alloc & vox_keep_of_coords(pc3)
+        new_id = jnp.cumsum(pkeep.astype(jnp.int32)) - 1
+        idmap = jnp.where(pkeep, new_id, -1)
+        ptgt = jnp.where(pkeep, new_id, P)
+        pts = jnp.zeros_like(self.pts).at[ptgt].set(self.pts, mode="drop")
+        pt_count = jnp.sum(pkeep.astype(jnp.int32))
+
+        # ---- dedup grid rebuild (cells of surviving points) --------------
+        dcell = _grid_coords(self.pts, cfg.pts_minimum_scale, tag=0)
+        dedup, _ = HashTable.create(
+            self.dedup.capacity, self.dedup.max_probe).insert(dcell, pkeep)
+
+        # ---- per-voxel rows: move to new slots, remap member ids ---------
+        vtgt = jnp.where(vok, jnp.maximum(slot_map, 0), V)
+        row_ids = self.vox_pt_idx                     # (V, S) old point ids
+        row_new = jnp.where(row_ids >= 0,
+                            idmap[jnp.maximum(row_ids, 0)], -1)
+
+        def move_rows(src, fill):
+            out = jnp.full_like(src, fill)
+            return out.at[vtgt].set(src, mode="drop")
+
+        vox_pt_idx = move_rows(row_new, -1)
+        vox_n = move_rows(self.vox_n, 0)
+        vox_new = move_rows(self.vox_new, 0)
+        vox_meshed = move_rows(self.vox_meshed, False)
+
+        gm = self.replace(
+            pts=pts, pt_count=pt_count, dedup=dedup, vox=vox,
+            vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
+            vox_meshed=vox_meshed,
+        )
+        return gm, {"idmap": idmap, "slot_map": slot_map}
+
 
 # ----------------------------------------------------------------------
 def _next_pow2(n: int) -> int:

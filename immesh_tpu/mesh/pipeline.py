@@ -20,7 +20,7 @@ import numpy as np
 
 from immesh_tpu.config import ImMeshConfig
 from immesh_tpu.mesh.global_map import GlobalPointMap
-from immesh_tpu.mesh.triangles import TriangleStore, mesh_voxels
+from immesh_tpu.mesh.triangles import TriangleStore, mesh_voxels, remap_store
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -70,20 +70,59 @@ class MeshPipeline:
         )
         self.last_active = (slots, smask)
         self.frame_idx += 1
+        self.maybe_compact(sensor_pos)
         return n_active
+
+    def maybe_compact(self, sensor_pos) -> bool:
+        """Occupancy-triggered lifetime management: when the point store or
+        voxel table crosses the high-water mark, evict outside the local-map
+        radius and remap the triangle store (reference bounds its working set
+        by RAM reserves + recent-voxel expiry, pointcloud_rgbd.cpp:278-294,
+        425-455; a sliding map is the fixed-capacity equivalent)."""
+        mc = self.cfg.mesh
+        if mc.compact_check_every <= 0 or \
+                self.frame_idx % mc.compact_check_every != 0:
+            return False
+        high_p = mc.compact_high_water * mc.points_capacity
+        high_v = mc.compact_high_water * mc.voxel_capacity
+        if (int(self.gm.n_points()) <= high_p
+                and int(self.gm.vox.occupancy()) <= high_v):
+            return False
+        radius = mc.local_map_radius
+        for _ in range(8):
+            self.gm, self.store = _compact_mesh_jit(
+                self.gm, self.store, jnp.asarray(sensor_pos),
+                jnp.asarray(radius, jnp.float32))
+            if (int(self.gm.n_points()) <= high_p
+                    and int(self.gm.vox.occupancy()) <= high_v):
+                break
+            radius *= 0.7
+        return True
 
     # ------------------------------------------------------------------
     def extract(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Gather the current mesh to host: (verts (P,3), faces (F,3)).
+        return _extract(self.gm, self.store)
 
-        Faces index into the returned vertex array (compacted); the global
-        point ids are remapped host-side.
-        """
-        tri = np.asarray(self.store.tri_ids).reshape(-1, 3)
-        valid = np.all(tri >= 0, axis=-1)
-        tri = tri[valid]
-        pts = np.asarray(self.gm.pts)
-        used = np.unique(tri)
-        remap = np.full(pts.shape[0], -1, np.int64)
-        remap[used] = np.arange(used.size)
-        return pts[used], remap[tri]
+
+@jax.jit
+def _compact_mesh_jit(gm: GlobalPointMap, store: TriangleStore,
+                      center: jnp.ndarray, radius: jnp.ndarray):
+    gm, maps = gm.compact(center, radius)
+    store = remap_store(store, maps["slot_map"], maps["idmap"])
+    return gm, store
+
+
+def _extract(gm, store) -> Tuple[np.ndarray, np.ndarray]:
+    """Gather the current mesh to host: (verts (P,3), faces (F,3)).
+
+    Faces index into the returned vertex array (compacted); the global
+    point ids are remapped host-side.
+    """
+    tri = np.asarray(store.tri_ids).reshape(-1, 3)
+    valid = np.all(tri >= 0, axis=-1)
+    tri = tri[valid]
+    pts = np.asarray(gm.pts)
+    used = np.unique(tri)
+    remap = np.full(pts.shape[0], -1, np.int64)
+    remap[used] = np.arange(used.size)
+    return pts[used], remap[tri]

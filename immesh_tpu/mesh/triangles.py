@@ -63,6 +63,34 @@ class TriangleStore:
         return self.replace(dirty=jnp.zeros_like(self.dirty))
 
 
+def remap_store(store: TriangleStore, slot_map: jnp.ndarray,
+                idmap: jnp.ndarray) -> TriangleStore:
+    """Carry the triangle store through a GlobalPointMap.compact: move each
+    surviving voxel's row to its new slot, rewrite vertex ids through the
+    old→new point map, and drop triangles that lost a vertex (border
+    triangles referencing halo points in evicted voxels).  Rows are
+    re-compacted so tri_n stays the prefix length consumers rely on."""
+    V, C, _ = store.tri_ids.shape
+    ids = store.tri_ids
+    remapped = jnp.where(ids >= 0, idmap[jnp.maximum(ids, 0)], -1)
+    valid = jnp.all(remapped >= 0, axis=-1)                   # (V, C)
+    # stable per-row compaction: valid triangles first, order preserved
+    order = jnp.argsort(~valid, axis=-1, stable=True)          # (V, C)
+    packed = jnp.take_along_axis(remapped, order[..., None], axis=1)
+    vmask = jnp.take_along_axis(valid, order, axis=1)
+    packed = jnp.where(vmask[..., None], packed, -1)
+    counts = jnp.sum(vmask, axis=-1).astype(jnp.int32)
+
+    keep = slot_map >= 0
+    tgt = jnp.where(keep, jnp.maximum(slot_map, 0), V)
+    tri_ids = jnp.full_like(store.tri_ids, -1).at[tgt].set(packed, mode="drop")
+    tri_n = jnp.zeros_like(store.tri_n).at[tgt].set(counts, mode="drop")
+    # everything moved: let the viewer resync every surviving region
+    dirty = jnp.zeros_like(store.dirty).at[tgt].set(
+        jnp.ones(V, bool), mode="drop")
+    return store.replace(tri_ids=tri_ids, tri_n=tri_n, dirty=dirty)
+
+
 def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
                 slots: jnp.ndarray, smask: jnp.ndarray,
                 sensor_pos: jnp.ndarray,

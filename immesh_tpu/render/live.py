@@ -22,6 +22,7 @@ touches NumPy copies, never device arrays, so it cannot stall the frame loop.
 
 from __future__ import annotations
 
+import collections
 import http.server
 import json
 import struct
@@ -45,6 +46,9 @@ class RegionCache:
         self.voxel_resolution = float(voxel_resolution)
         self._voxel_geom: Dict[int, np.ndarray] = {}   # slot -> (n,3,3) f32
         self._voxel_region: Dict[int, Tuple[int, int, int]] = {}
+        # inverse index: region -> member voxel slots, maintained
+        # incrementally so a region rebuild touches only its own voxels
+        self._region_voxels: Dict[Tuple[int, int, int], set] = {}
         self._regions: Dict[Tuple[int, int, int], np.ndarray] = {}
         self._region_seq: Dict[Tuple[int, int, int], int] = {}
         self.seq = 0
@@ -86,16 +90,19 @@ class RegionCache:
                 else:
                     geom = np.zeros((0, 3, 3), np.float32)
                 rid = tuple(int(np.floor(k * scale)) for k in keys[i, :3])
-                old_rid = self._voxel_region.get(int(slot))
+                s_int = int(slot)
+                old_rid = self._voxel_region.get(s_int)
                 if old_rid is not None and old_rid != rid:
                     touched.add(old_rid)
-                self._voxel_region[int(slot)] = rid
-                self._voxel_geom[int(slot)] = geom
+                    self._region_voxels.get(old_rid, set()).discard(s_int)
+                self._voxel_region[s_int] = rid
+                self._region_voxels.setdefault(rid, set()).add(s_int)
+                self._voxel_geom[s_int] = geom
                 touched.add(rid)
             self.seq += 1
             for rid in touched:
                 parts = [self._voxel_geom[s]
-                         for s, r in self._voxel_region.items() if r == rid]
+                         for s in self._region_voxels.get(rid, ())]
                 buf = (np.concatenate(parts, axis=0) if parts
                        else np.zeros((0, 3, 3), np.float32))
                 self._regions[rid] = buf
@@ -140,7 +147,9 @@ class LiveMeshServer:
     def __init__(self, cache: RegionCache, host: str = "127.0.0.1",
                  port: int = 0):
         self.cache = cache
-        self._traj: List[List[float]] = []
+        # bounded: /state only ever serves the trailing window, so keeping
+        # more would grow host memory without bound on long runs
+        self._traj: "collections.deque" = collections.deque(maxlen=2000)
         self._traj_lock = threading.Lock()
         cache_ref = self.cache
         traj_ref = self._traj
@@ -151,10 +160,12 @@ class LiveMeshServer:
                 pass
 
             def _send(self, code, body: bytes, ctype: str):
+                # no CORS header: the bundled viewer is same-origin, and a
+                # wildcard would let any page in the operator's browser read
+                # live location data (riskier still on non-loopback binds)
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
-                self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -174,7 +185,7 @@ class LiveMeshServer:
                     st["changed"] = [list(r)
                                      for r in cache_ref.changed_since(since)]
                     with traj_lock:
-                        st["traj"] = traj_ref[-2000:]
+                        st["traj"] = list(traj_ref)
                     self._send(200, json.dumps(st).encode(),
                                "application/json")
                 elif path.startswith("/region/"):

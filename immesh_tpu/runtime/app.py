@@ -55,6 +55,8 @@ class ImMeshRuntime:
         self._live = None
         self._live_cache = None
         self._live_sync_every = 5
+        from collections import deque
+        self._pending_cost = deque()
 
     # ------------------------------------------------------------------
     def start_live_viewer(self, host: str = "127.0.0.1", port: int = 0,
@@ -80,21 +82,35 @@ class ImMeshRuntime:
     def static_init(self, acc: np.ndarray, gyr: np.ndarray) -> None:
         self.lio.static_init(acc, gyr)
 
-    def process_frame(self, bundle: ScanBundle, t: float = 0.0) -> dict:
-        """One LiDAR(-inertial) frame through odometry and meshing."""
+    def process_frame(self, bundle: ScanBundle, t: float = 0.0,
+                      imu_gap: bool = False) -> dict:
+        """One LiDAR(-inertial) frame through odometry and meshing.
+
+        `imu_gap`: stream anomaly flag from PacketSynchronizer.consume_gap();
+        triggers a filter re-init before the step (reference m_flg_reset,
+        src/voxel_mapping.cpp:1791-1797).
+
+        No per-frame host sync: device scalars (active-voxel count, effective
+        residuals) are logged one frame late via the pending queue, so the
+        mesh program for frame k overlaps host prep of frame k+1 (the
+        reference overlaps via threads, ImMesh_mesh_reconstruction.cpp:272-310).
+        """
+        if imu_gap:
+            self.lio.reset_filter(keep_pose=True)
+
         self.timer.tic("lio")
         world_scan, diag = self.lio.step(bundle)
         lio_ms = self.timer.toc("lio")
 
-        n_active = 0
+        n_active_dev = None
         mesh_ms = 0.0
         if self.mesh is not None:
             self.timer.tic("mesh")
             # reference decimates to ≤number_of_pts_append_to_map points
             # before appending (ImMesh_mesh_reconstruction.cpp:111); our
             # bundles are already capped by preprocess.max_points
-            n_active = int(self.mesh.step(
-                world_scan, bundle.mask, self.lio.state.pos))
+            n_active_dev = self.mesh.step(
+                world_scan, bundle.mask, self.lio.state.pos)
             mesh_ms = self.timer.toc("mesh")
 
         pos = np.asarray(self.lio.state.pos)
@@ -105,12 +121,19 @@ class ImMeshRuntime:
             if self.frame_idx % self._live_sync_every == 0:
                 self.mesh.store = self._live_cache.sync(
                     self.mesh.gm, self.mesh.store)
-        self.cost_log.record(self.frame_idx, mesh_ms, n_active, lio_ms)
+        self._pending_cost.append(
+            (self.frame_idx, mesh_ms, n_active_dev, lio_ms))
+        # flush rows at least one frame old — their programs have retired, so
+        # the int() below no longer blocks the pipeline
+        while len(self._pending_cost) > 1:
+            fi, mms, nact, lms = self._pending_cost.popleft()
+            self.cost_log.record(fi, mms, 0 if nact is None else int(nact), lms)
         self.frame_idx += 1
         return {
             "pos": pos, "lio_ms": lio_ms, "mesh_ms": mesh_ms,
-            "n_active_voxels": n_active,
-            "n_effective": int(diag["n_effective"]),
+            # device scalars — callers that want numbers int() them
+            "n_active_voxels": n_active_dev,
+            "n_effective": diag["n_effective"],
         }
 
     def run(self, bundles: Iterable[ScanBundle]) -> list:
@@ -137,6 +160,9 @@ class ImMeshRuntime:
             save_checkpoint(path_prefix + ".tris.npz", self.mesh.store)
 
     def close(self) -> None:
+        while self._pending_cost:
+            fi, mms, nact, lms = self._pending_cost.popleft()
+            self.cost_log.record(fi, mms, 0 if nact is None else int(nact), lms)
         self.traj_log.close()
         self.cost_log.close()
 

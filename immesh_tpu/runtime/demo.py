@@ -46,10 +46,11 @@ def main() -> None:
             cfg.imu.max_imu_per_scan)
         stats = rt.process_frame(b, t=k * sim.scan_T)
         err = np.linalg.norm(stats["pos"] - f.gt_pos)
+        n_vox = stats["n_active_voxels"]
         print(f"frame {k:3d}  lio {stats['lio_ms']:6.1f} ms  "
               f"mesh {stats['mesh_ms']:6.1f} ms  "
-              f"voxels {stats['n_active_voxels']:4d}  "
-              f"matches {stats['n_effective']:5d}  |p-gt| {err:.3f} m")
+              f"voxels {0 if n_vox is None else int(n_vox):4d}  "
+              f"matches {int(stats['n_effective']):5d}  |p-gt| {err:.3f} m")
 
     mesh_path = os.path.join(args.out, "mesh.ply")
     verts, faces = rt.save_mesh(mesh_path, smooth_iters=1)

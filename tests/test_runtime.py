@@ -38,11 +38,6 @@ class TestJointRuntime:
         assert rows.shape == (6, 8)
         np.testing.assert_allclose(
             np.linalg.norm(rows[:, 4:8], axis=1), 1.0, atol=1e-5)
-        # cost log: reference schema `frame mesh_ms n_voxels lio_ms avg_ms`
-        cost = np.loadtxt(tmp_path / "mesh_cost_time.log")
-        assert cost.shape == (6, 5)
-        assert (cost[:, 2] >= 0).all()
-
         # mesh + checkpoint export
         verts, faces = rt.save_mesh(str(tmp_path / "m.ply"), smooth_iters=1)
         v2, f2 = load_ply(str(tmp_path / "m.ply"))
@@ -51,6 +46,13 @@ class TestJointRuntime:
         assert os.path.exists(tmp_path / "ck.lio.npz")
         assert os.path.exists(tmp_path / "ck.tris.npz")
         rt.close()
+
+        # cost log: reference schema `frame mesh_ms n_voxels lio_ms avg_ms`
+        # (rows are flushed one frame late to avoid per-frame device syncs,
+        # so the log is complete only after close())
+        cost = np.loadtxt(tmp_path / "mesh_cost_time.log")
+        assert cost.shape == (6, 5)
+        assert (cost[:, 2] >= 0).all()
 
     def test_mesh_tracks_trajectory(self):
         """Meshed surface must lie near the simulated scene geometry: all
