@@ -96,6 +96,8 @@ class LioConfig:
     max_iterations: int = 4                 # ref NUM_MAX_ITERATIONS (2-4 per dataset)
     converge_rot_deg: float = 0.01          # convergence thresholds (voxel_mapping.cpp:1619-1622)
     converge_trans_m: float = 0.00015
+    update_map: bool = True                 # False = localization-only against
+                                            # a prebuilt map (no ref equivalent)
     map_update_points: int = 8192           # downsampled points fed to map update
     downsample_voxel: float = 0.25          # scan voxel-grid leaf (ref filter_size_surf)
     init_pos_cov: float = 1e-5
@@ -131,6 +133,25 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class BaConfig:
+    """Sliding-window plane-landmark bundle adjustment (no reference
+    equivalent — BASELINE.md's multi-host north star; solver in
+    dist/window_ba.py, runtime bridge in lio/window.py)."""
+
+    enabled: bool = False
+    window_size: int = 8                    # keyframes per window
+    pts_per_keyframe: int = 512             # stored body points per keyframe
+    max_planes: int = 256                   # landmark capacity per window
+    kf_trans_thresh: float = 0.5            # new keyframe past this motion, m
+    kf_rot_thresh_deg: float = 10.0         # ... or this rotation
+    iterations: int = 4                     # GN iterations per window
+    huber_delta: float = 0.5                # residual robustifier, m
+    odo_w_rot: float = 1e3                  # odometry factor information
+    odo_w_t: float = 1e3
+    apply_correction: bool = True           # feed refined pose back to filter
+
+
+@dataclass(frozen=True)
 class ParallelConfig:
     """Multi-chip layout — no reference equivalent (single-process CPU)."""
 
@@ -145,6 +166,7 @@ class ImMeshConfig:
     voxel_map: VoxelMapConfig = field(default_factory=VoxelMapConfig)
     lio: LioConfig = field(default_factory=LioConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    ba: BaConfig = field(default_factory=BaConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     dtype: str = "float32"
 
@@ -187,6 +209,7 @@ _FIELD_TYPES = {
     (ImMeshConfig, "voxel_map"): VoxelMapConfig,
     (ImMeshConfig, "lio"): LioConfig,
     (ImMeshConfig, "mesh"): MeshConfig,
+    (ImMeshConfig, "ba"): BaConfig,
     (ImMeshConfig, "parallel"): ParallelConfig,
 }
 

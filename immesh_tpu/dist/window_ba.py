@@ -231,7 +231,7 @@ def _retract(rot, pos, normal, d, dp, dl):
 
 def _gn_iteration(rot, pos, normal, d, prob: WindowProblem,
                   anchor_rot, anchor_pos, huber_delta, gauge_weight,
-                  damping, fix_planes, axis):
+                  damping, plane_prior, fix_planes, axis):
     blocks = _point_factor_blocks(rot, pos, normal, d, prob.pts,
                                   prob.plane_id, prob.weight, huber_delta)
     if axis is not None:
@@ -244,10 +244,15 @@ def _gn_iteration(rot, pos, normal, d, prob: WindowProblem,
         *[blocks["Hpp"][k] for k in range(K)])
     bp_full = b_odo + blocks["bp"].reshape(K * 6)
 
-    # optionally freeze plane landmarks (pure pose-graph mode): a huge prior
-    # on the plane block makes Hll⁻¹ → 0, zeroing the Schur correction
-    Hll = blocks["Hll"] + jnp.where(
-        fix_planes, 1e12, 0.0) * jnp.eye(3, dtype=rot.dtype)
+    # Plane prior: landmarks come from the live map where they were fitted
+    # from far more points than this window sees, so a zero-mean prior on
+    # their tangent increment is statistically justified — and it is also
+    # what keeps the Schur complement PSD in f32 when a window plane has <3
+    # supporting points (rank-deficient 3×3 block ⇒ unbounded Hll⁻¹).
+    # fix_planes (pure pose-graph mode) = the same prior taken to ∞.
+    Hll = blocks["Hll"] + (
+        plane_prior + jnp.where(fix_planes, 1e12, 0.0)
+    ) * jnp.eye(3, dtype=rot.dtype)
     dp, dl = schur_solve(Hpp_full, blocks["Hpl"], Hll, bp_full, blocks["bl"],
                          damping)
     dl = jnp.where(fix_planes, 0.0, dl)
@@ -257,7 +262,8 @@ def _gn_iteration(rot, pos, normal, d, prob: WindowProblem,
 
 def solve_window(prob: WindowProblem, *, iterations: int = 6,
                  huber_delta: float = 0.5, gauge_weight: float = 1e8,
-                 damping: float = 1e-6, fix_planes: bool = False,
+                 damping: float = 1e-6, plane_prior: float = 10.0,
+                 fix_planes: bool = False,
                  axis: str | None = None) -> Dict[str, jnp.ndarray]:
     """Run Gauss-Newton on the window.  Jittable; pass `axis` when called
     inside shard_map (points sharded over that axis) for the distributed
@@ -269,7 +275,7 @@ def solve_window(prob: WindowProblem, *, iterations: int = 6,
         rot, pos, normal, d, _, _ = carry
         return _gn_iteration(rot, pos, normal, d, prob, anchor_rot,
                              anchor_pos, huber_delta, gauge_weight,
-                             damping, fix, axis)
+                             damping, plane_prior, fix, axis)
 
     init = (prob.rot, prob.pos, prob.normal, prob.d,
             jnp.asarray(0.0, prob.rot.dtype), jnp.asarray(0.0, prob.rot.dtype))

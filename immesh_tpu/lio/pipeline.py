@@ -89,10 +89,12 @@ def lio_step(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
         state_prop, vm, down_pts, pcov, down_mask, lio_cfg, map_cfg
     )
 
-    # 4. map growth with the posterior pose (reference map_incremental_grow)
-    pts_world_down = state_new.transform_points(down_pts)
-    sigma2 = (pcov[:, 0, 0] + pcov[:, 1, 1] + pcov[:, 2, 2]) / 3.0
-    vm = vm.update(pts_world_down, sigma2, down_mask)
+    # 4. map growth with the posterior pose (reference map_incremental_grow);
+    # skipped in localization-only mode (prebuilt map)
+    if lio_cfg.update_map:
+        pts_world_down = state_new.transform_points(down_pts)
+        sigma2 = (pcov[:, 0, 0] + pcov[:, 1, 1] + pcov[:, 2, 2]) / 3.0
+        vm = vm.update(pts_world_down, sigma2, down_mask)
 
     # full-resolution world scan for meshing
     world_scan = state_new.transform_points(pts_end)

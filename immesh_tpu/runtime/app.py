@@ -42,6 +42,11 @@ class ImMeshRuntime:
         self.cfg = cfg
         self.lio = LioPipeline(cfg)
         self.mesh = MeshPipeline(cfg) if mesh_enabled else None
+        if cfg.ba.enabled:
+            from immesh_tpu.lio.window import WindowBA
+            self.ba = WindowBA(cfg)
+        else:
+            self.ba = None
         self.timer = Timer()
         self.frame_idx = 0
         if log_dir:
@@ -114,6 +119,24 @@ class ImMeshRuntime:
             mesh_ms = self.timer.toc("mesh")
 
         pos = np.asarray(self.lio.state.pos)
+        ba_cost = None
+        if self.ba is not None:
+            corr = self.ba.observe(self.lio.state.rot, pos, world_scan,
+                                   bundle.mask, self.lio.vm)
+            if corr is not None:
+                ba_cost = corr["cost"]
+                if self.cfg.ba.apply_correction:
+                    # left-apply the window's world-frame correction to the
+                    # live filter (velocity rotates with the frame; gravity
+                    # and biases are frame-invariant here)
+                    import jax.numpy as jnp
+                    dR = jnp.asarray(corr["d_rot"], jnp.float32)
+                    dp = jnp.asarray(corr["d_pos"], jnp.float32)
+                    st = self.lio.state
+                    self.lio.state = st.replace(
+                        rot=dR @ st.rot, pos=dR @ st.pos + dp,
+                        vel=dR @ st.vel)
+                    pos = np.asarray(self.lio.state.pos)
         quat = np.asarray(so3.rot_to_quat(self.lio.state.rot))  # wxyz
         self.traj_log.record(t, pos, (*quat[1:4], quat[0]))
         if self._live is not None:
@@ -134,6 +157,7 @@ class ImMeshRuntime:
             # device scalars — callers that want numbers int() them
             "n_active_voxels": n_active_dev,
             "n_effective": diag["n_effective"],
+            "ba_cost": ba_cost,
         }
 
     def run(self, bundles: Iterable[ScanBundle]) -> list:
