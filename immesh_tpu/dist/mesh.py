@@ -13,8 +13,33 @@ the LIO uses for points:
   * per-chip triangle lists are all_gathered and applied identically.
 
 Owner-computes (mesh/triangles.py) means no cross-chip write conflicts exist
-by construction — the spatial-shard upgrade (each chip OWNS a region of the
-map, ppermute halo exchange) keeps the same kernel and drops the gather.
+by construction.  Two strategies live here:
+
+  * `make_mp_mesh_step` — compute-parallel only: the global point map and
+    triangle store are REPLICATED on every chip (capacity bounded by one
+    chip's HBM); active voxels are sliced across chips, triangle lists
+    all_gathered back.  Kept for the small-map / dp-matched path.
+  * `ShardedMeshMap` + `make_sharded_mesh_step` — capacity-parallel: world
+    space is striped into x-slabs of `slab_voxels` meshing voxels (the same
+    mod-striping as dist/sharded_map.py, the TPU realization of the
+    reference's 10 m spatial region shards, reference
+    src/meshing/r3live/triangle.cpp:35-53); slab s is OWNED by chip
+    s mod n, so each chip stores ~1/n of the points, voxels, and triangles —
+    total mesh capacity scales linearly with the mesh.
+
+The sharded path needs NO collective beyond the scan all_gather the
+compute-parallel path already pays: because every chip sees the full scan,
+each chip simply appends the points of its OWNED voxel columns plus a
+2-column HALO on each slab edge.  Boundary voxels are therefore populated
+bitwise-identically on both sides (same gathered scan, same in-frame dedup
+representatives — the halo is wide enough that every dedup cell feeding a
+pulled point is fully inside both chips' append masks), so the
+centroid-ownership triangle dedup (mesh/triangles.py) stays exact across
+chip boundaries: Delaunay ties and canonical vertex order are derived from
+position bits (_pos_hash), not store-local ids.  Each chip triangulates only
+the active voxels it owns; triangle rows land in the chip-local store.
+`gather_mesh` assembles the shards into one host-side (pts, tris) pair for
+export/viewing (ids offset by shard).
 """
 
 from __future__ import annotations
@@ -23,6 +48,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -75,3 +102,130 @@ def make_mp_mesh_step(mesh: Mesh, cfg: ImMeshConfig, axis: str = "dp"):
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+# ======================================================================
+# capacity-sharded meshing: each chip owns x-slabs of meshing voxels
+# ======================================================================
+
+def mesh_column_owner(col: jnp.ndarray, slab_voxels: int, n_shards: int
+                      ) -> jnp.ndarray:
+    """x voxel column (at voxel_resolution) → owning shard id."""
+    return (col // slab_voxels) % n_shards
+
+
+@struct.dataclass
+class ShardedMeshMap:
+    """One chip's mesh shard: a GlobalPointMap + TriangleStore holding the
+    chip's OWNED voxel columns plus a 2-column halo on each slab edge.
+
+    The halo width-2 invariant: owned voxels pull 27-neighborhoods (±1
+    column); a pulled point near the slab edge may belong to a dedup cell
+    straddling a voxel boundary, and the in-frame dedup representative
+    (global_map._frame_unique `first`) is only chip-consistent when every
+    point of that cell is inside the chip's append mask — 2 columns of halo
+    guarantee it for all points any owned voxel can pull."""
+
+    gm: GlobalPointMap
+    store: TriangleStore
+    shard_id: jnp.ndarray         # () int32
+    n_shards: int = struct.field(pytree_node=False)
+    slab_voxels: int = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, cfg: ImMeshConfig, shard_id: int, n_shards: int,
+               slab_voxels: int = 8) -> "ShardedMeshMap":
+        return cls(gm=GlobalPointMap.create(cfg.mesh),
+                   store=TriangleStore.create(cfg.mesh),
+                   shard_id=jnp.asarray(shard_id, jnp.int32),
+                   n_shards=n_shards, slab_voxels=slab_voxels)
+
+    def _owner(self, col: jnp.ndarray) -> jnp.ndarray:
+        return mesh_column_owner(col, self.slab_voxels, self.n_shards)
+
+    def append_keep(self, pts_world: jnp.ndarray) -> jnp.ndarray:
+        """(N,) bool — point is in an owned column or the 2-column halo."""
+        col = jnp.floor(
+            pts_world[:, 0] / self.gm.cfg.voxel_resolution).astype(jnp.int32)
+        keep = self._owner(col) == self.shard_id
+        for d in (-2, -1, 1, 2):
+            keep = keep | (self._owner(col + d) == self.shard_id)
+        return keep
+
+    def owns_voxel(self, slots: jnp.ndarray) -> jnp.ndarray:
+        """(A,) bool — voxel slot's column is owned (not halo)."""
+        col = self.gm.vox.keys[jnp.maximum(slots, 0), 0]
+        return self._owner(col) == self.shard_id
+
+    def n_owned_triangles(self) -> jnp.ndarray:
+        return self.store.n_triangles()
+
+
+def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
+                       cfg: ImMeshConfig, axis: str):
+    smm: ShardedMeshMap = jax.tree_util.tree_map(
+        lambda x: x[0], smm_stacked)
+    pts_all = jax.lax.all_gather(scan_local, axis).reshape(-1, 3)
+    mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
+
+    keep = smm.append_keep(pts_all)
+    gm, slots, smask = smm.gm.append_frame(pts_all, mask_all & keep)
+    smm = smm.replace(gm=gm)  # ownership must read the POST-append table —
+    # freshly inserted slots are EMPTY in the old one (key x = sentinel)
+
+    # triangulate only the active voxels this chip OWNS — halo voxels are
+    # re-meshed by their owner, whose halo covers this chip's edge points
+    smask = smask & smm.owns_voxel(slots)
+    ids, counts = triangulate_voxels(
+        gm, slots, smask, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
+    store = apply_triangles(smm.store, slots, smask, ids, counts)
+    smm = smm.replace(gm=gm.mark_meshed(slots, smask), store=store)
+    n_tris = jax.lax.psum(store.n_triangles(), axis)
+    n_active = jax.lax.psum(jnp.sum(smask.astype(jnp.int32)), axis)
+    smm_stacked = jax.tree_util.tree_map(lambda x: x[None], smm)
+    return smm_stacked, n_active, n_tris
+
+
+def create_sharded_mesh(mesh: Mesh, cfg: ImMeshConfig, *, axis: str = "dp",
+                        slab_voxels: int = 8):
+    """Per-chip mesh shards in stacked form ((n_dev, …), sharded over axis)."""
+    n = mesh.shape[axis]
+    shards = [ShardedMeshMap.create(cfg, i, n, slab_voxels) for i in range(n)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+    sh = jax.sharding.NamedSharding(mesh, P(axis))
+    return jax.device_put(
+        stacked, jax.tree_util.tree_map(lambda _: sh, stacked))
+
+
+def make_sharded_mesh_step(mesh: Mesh, cfg: ImMeshConfig, axis: str = "dp"):
+    """Jitted capacity-sharded mesh step.
+
+    In: smm_stacked ((n_dev, …) sharded over axis), scan + mask sharded over
+    axis (the dp LIO world-scan layout), sensor_pos replicated.
+    Out: (smm_stacked, n_active, n_triangles)."""
+    body = functools.partial(_sharded_mesh_body, cfg=cfg, axis=axis)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis, None), P(axis), P()),
+        out_specs=(P(axis), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def gather_mesh(smm_stacked) -> dict:
+    """Host-side assembly of the shard stores into one mesh: concatenated
+    vertex array + triangle ids offset per shard (id = shard·P + local)."""
+    pts = np.asarray(smm_stacked.gm.pts)            # (n, P, 3)
+    counts = np.asarray(smm_stacked.gm.pt_count)    # (n,)
+    tri_ids = np.asarray(smm_stacked.store.tri_ids)  # (n, V, C, 3)
+    n, Pcap = pts.shape[0], pts.shape[1]
+    all_tris = []
+    for s in range(n):
+        t = tri_ids[s].reshape(-1, 3)
+        t = t[np.all(t >= 0, axis=1)]
+        all_tris.append(t + s * Pcap)
+    tris = (np.concatenate(all_tris, axis=0) if all_tris
+            else np.zeros((0, 3), np.int32))
+    return {"pts": pts.reshape(n * Pcap, 3), "tris": tris,
+            "n_pts_per_shard": counts}

@@ -38,6 +38,21 @@ from immesh_tpu.mesh.delaunay import (
 from immesh_tpu.mesh.global_map import GlobalPointMap
 
 
+def _pos_hash(pts: jnp.ndarray) -> jnp.ndarray:
+    """(…, 3) f32 → (…,) int32 hash of the position BITS.
+
+    Used as the cocircular-tie perturbation key and the canonical vertex
+    order so both are functions of the point itself, not of its store slot:
+    a point's local id differs between map shards (dist/mesh.py bump-allocates
+    per chip), but its stored position is bitwise identical, so neighboring
+    shards break Delaunay ties identically and the owner-computes centroid
+    dedup stays exact across chip boundaries."""
+    b = jax.lax.bitcast_convert_type(pts, jnp.int32)
+    return (b[..., 0] * jnp.int32(-1640531527)
+            ^ b[..., 1] * jnp.int32(668265263)
+            ^ b[..., 2] * jnp.int32(374761393))
+
+
 @struct.dataclass
 class TriangleStore:
     tri_ids: jnp.ndarray   # (V, C, 3) int32 global point ids, winding order; -1 pad
@@ -147,7 +162,8 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     def one_chunk(args):
         pts_c, pmask_c, gidx_c, key_c = args
         uv, _, _ = pca_project(pts_c, pmask_c)
-        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=gidx_c)  # (T,3), (a,T)
+        phash = _pos_hash(pts_c)                              # (a, K)
+        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=phash)  # (T,3), (a,T)
 
         rows, rmask = compact_triangles(keep, tris, C2)       # (a, C2)
         rowc = jnp.maximum(rows, 0)
@@ -171,26 +187,37 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
                 & (jnp.linalg.norm(v0 - v2, axis=-1) < emax)
             )
 
-        # canonical vertex order (ascending global id) so the centroid is
-        # bitwise identical in every voxel that generates this triangle —
-        # otherwise last-ulp drift lets two voxels both claim a triangle whose
-        # centroid sits exactly on their shared face
-        def sort3(a0, a1, a2, p0, p1, p2):
-            sw = a0 > a1
-            a0, a1 = jnp.where(sw, a1, a0), jnp.where(sw, a0, a1)
-            p0, p1 = (jnp.where(sw[..., None], p1, p0),
-                      jnp.where(sw[..., None], p0, p1))
-            sw = a1 > a2
-            a1, a2 = jnp.where(sw, a2, a1), jnp.where(sw, a1, a2)
-            p1, p2 = (jnp.where(sw[..., None], p2, p1),
-                      jnp.where(sw[..., None], p1, p2))
-            sw = a0 > a1
-            a0, a1 = jnp.where(sw, a1, a0), jnp.where(sw, a0, a1)
-            p0, p1 = (jnp.where(sw[..., None], p1, p0),
-                      jnp.where(sw[..., None], p0, p1))
+        # canonical vertex order (ascending position hash — chip-invariant,
+        # unlike store-local point ids) so the centroid is bitwise identical
+        # in every voxel that generates this triangle — otherwise last-ulp
+        # drift lets two voxels (possibly on two chips) both claim a triangle
+        # whose centroid sits exactly on their shared face
+        h0 = jnp.take_along_axis(phash, tri3[..., 0], axis=1)
+        h1 = jnp.take_along_axis(phash, tri3[..., 1], axis=1)
+        h2 = jnp.take_along_axis(phash, tri3[..., 2], axis=1)
+
+        def sort3(k0, k1, k2, a0, a1, a2, p0, p1, p2):
+            def sw2(c, x, y):
+                return jnp.where(c, y, x), jnp.where(c, x, y)
+
+            def sw3(c, x, y):
+                return (jnp.where(c[..., None], y, x),
+                        jnp.where(c[..., None], x, y))
+
+            c = k0 > k1
+            k0, k1 = sw2(c, k0, k1)
+            a0, a1 = sw2(c, a0, a1)
+            p0, p1 = sw3(c, p0, p1)
+            c = k1 > k2
+            k1, k2 = sw2(c, k1, k2)
+            a1, a2 = sw2(c, a1, a2)
+            p1, p2 = sw3(c, p1, p2)
+            c = k0 > k1
+            a0, a1 = sw2(c, a0, a1)
+            p0, p1 = sw3(c, p0, p1)
             return a0, a1, a2, p0, p1, p2
 
-        s0, s1, s2, q0, q1, q2 = sort3(i0, i1, i2, v0, v1, v2)
+        s0, s1, s2, q0, q1, q2 = sort3(h0, h1, h2, i0, i1, i2, v0, v1, v2)
         cen = ((q0 + q1) + q2) * (1.0 / 3.0)
         cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, C2, 3)
         keep2 = keep2 & jnp.all(cen_key == key_c[:, None, :], axis=-1)

@@ -120,3 +120,89 @@ class TestMpMesh:
             t = t[np.all(t >= 0, axis=1)]
             return {tuple(sorted(r)) for r in t}
         assert tri_set(store) == tri_set(ref.store)
+
+
+class TestShardedMesh:
+    """Capacity-sharded meshing (dist/mesh.py ShardedMeshMap): per-chip
+    stores, owner-computes triangulation, bitwise-consistent boundaries."""
+
+    def _cloud(self, seed, shift=0.0):
+        rng = np.random.default_rng(seed)
+        g = np.arange(-1.5, 1.5, 0.12, dtype=np.float32)
+        X, Y = np.meshgrid(g, g)
+        jit2 = 0.01 * rng.standard_normal((X.size, 2)).astype(np.float32)
+        pts = np.stack([
+            X.ravel() + jit2[:, 0] + shift, Y.ravel() + jit2[:, 1],
+            0.005 * rng.standard_normal(X.size).astype(np.float32)], -1)
+        n = len(pts)
+        pad = (-n) % N_DEV
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        return pts, mask
+
+    @staticmethod
+    def _tri_pos_set(pts, tris, decimals=4):
+        """Triangle set keyed by sorted rounded vertex positions (ids are
+        store-local, so position triples are the shard-invariant identity)."""
+        v = np.round(pts[tris], decimals)  # (T, 3, 3)
+        out = set()
+        for t in v:
+            out.add(tuple(sorted(map(tuple, t.tolist()))))
+        return out
+
+    def test_matches_single_device_triangles(self, mesh8):
+        from immesh_tpu.dist.mesh import (
+            create_sharded_mesh, gather_mesh, make_sharded_mesh_step)
+        from immesh_tpu.mesh.pipeline import MeshPipeline
+
+        cfg = PRESETS["sim"]()
+        sensor = jnp.asarray([0.0, 0.0, 2.0], jnp.float32)
+
+        ref = MeshPipeline(cfg)
+        # slab_voxels=1 with 8 shards: every 0.4 m column has a different
+        # owner — maximum boundary stress for the halo consistency argument
+        smm = create_sharded_mesh(mesh8, cfg, slab_voxels=1)
+        step = make_sharded_mesh_step(mesh8, cfg)
+
+        for k, shift in enumerate([0.0, 0.25]):  # frame 2 = incremental remesh
+            pts, mask = self._cloud(k, shift)
+            ref.step(pts, mask, np.asarray(sensor))
+            smm, n_active, n_tris = step(
+                smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
+
+        t_ref = int(ref.store.n_triangles())
+        t_sh = int(n_tris)
+        assert t_sh == t_ref, (t_sh, t_ref)
+
+        g = gather_mesh(smm)
+        ref_tris = np.asarray(ref.store.tri_ids).reshape(-1, 3)
+        ref_tris = ref_tris[np.all(ref_tris >= 0, axis=1)]
+        s_ref = self._tri_pos_set(np.asarray(ref.gm.pts), ref_tris)
+        s_sh = self._tri_pos_set(g["pts"], g["tris"])
+        assert s_sh == s_ref, (
+            len(s_sh - s_ref), len(s_ref - s_sh))
+
+    def test_capacity_scales_with_shards(self, mesh8):
+        """Each shard stores only its slab (+halo): per-shard occupancy must
+        be well below the single-device count, while the owned-column union
+        covers every point."""
+        from immesh_tpu.dist.mesh import (
+            create_sharded_mesh, make_sharded_mesh_step)
+        from immesh_tpu.mesh.pipeline import MeshPipeline
+
+        cfg = PRESETS["sim"]()
+        sensor = jnp.asarray([0.0, 0.0, 2.0], jnp.float32)
+        pts, mask = self._cloud(3)
+
+        ref = MeshPipeline(cfg)
+        ref.step(pts, mask, np.asarray(sensor))
+        n_single = int(ref.gm.pt_count)
+
+        smm = create_sharded_mesh(mesh8, cfg, slab_voxels=1)
+        step = make_sharded_mesh_step(mesh8, cfg)
+        smm, _, _ = step(smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
+
+        per_shard = np.asarray(smm.gm.pt_count)
+        assert per_shard.max() < 0.8 * n_single, (per_shard, n_single)
+        # halo duplication is bounded: ~(owned + 4 halo columns) per shard
+        assert per_shard.sum() < 6 * n_single
