@@ -125,6 +125,12 @@ class MeshConfig:
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
     max_tri_angle_deg: float = 150.0        # sliver filter (ref is_face_is_ok)
     max_edge_scale: float = 0.0             # optional edge cap ×min spacing (0 = off, like ref)
+    display_smooth_lam: float = 0.8         # display-time vertex Laplacian blend
+    # (ref smooths displayed/exported vertices lazily, factor 1.0 over 20-NN,
+    # mesh_rec_display.cpp:85-97 + ImMesh_node.cpp:130-131; 0 = off)
+    tie_scale: float = 0.02                 # Delaunay tie perturbation ÷scale²
+    # — sized to dominate sensor-noise incircle scores so every voxel/chip
+    # picks the same diagonal of near-cocircular quads (mesh/delaunay.py)
     # lifetime management (reference recent-voxel expiry + RAM-bounded
     # reserves, pointcloud_rgbd.cpp:278-294,425-455)
     local_map_radius: float = 500.0         # keep radius on compaction, m

@@ -132,21 +132,29 @@ def pca_project(pts: jnp.ndarray, mask: jnp.ndarray
 
 def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
                   eps_scale: float = 1e-6,
-                  tiebreak: Optional[jnp.ndarray] = None
+                  tiebreak: Optional[jnp.ndarray] = None,
+                  tie_scale: float = 256.0 * 1e-6
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Delaunay test for every candidate triangle of every voxel.
 
     uv: (A, K, 2) projected points, mask: (A, K) validity.
-    tiebreak: optional (A, K) int32 — stable per-point identity (global point
-    id) used for symbolic perturbation of cocircular ties.
+    tiebreak: optional (A, K) int32 — stable per-point identity (position
+    hash) used for symbolic perturbation of cocircular ties.
+    tie_scale: perturbation amplitude as a fraction of scale² — must exceed
+    eps_scale for decisive single-diagonal ties, and exceed the sensor-noise
+    score band for voxel-to-voxel consistency (see mesh/triangles.py, which
+    passes a noise-calibrated value).
     Returns (tris (T, 3) shared candidate triples, keep (A, T) bool).
 
     ε discipline (f32): |2·area| is O(scale²) and incircle scores are
-    O(scale⁴), so thresholds scale accordingly.  Exactly-cocircular quads
-    (gridded inputs) are broken by perturbing the paraboloid lift with a hash
-    of the point identity — frame-independent, so every voxel resolves the
-    tie the same way; ties below even that margin keep both diagonals
-    (overdraw beats holes — CGAL's exact predicates pick one arbitrarily).
+    O(scale⁴), so thresholds scale accordingly.  Near-cocircular quads
+    (gridded inputs, or noise-level scores seen through two voxels' slightly
+    different PCA projections) are broken by perturbing the paraboloid lift
+    with a hash of the point identity — frame/voxel/chip-independent, so
+    every voxel resolves the tie the SAME way and exactly one diagonal
+    survives (the incircle determinant is invariant to uv rigid motions and
+    to affine lift terms, so the only cross-voxel variation is the
+    noise-level plane tilt that tie_scale is sized to dominate).
     """
     A, K, _ = uv.shape
     tris = jnp.asarray(_tri_candidates(K))       # (T, 3)
@@ -166,7 +174,7 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
         tiebreak = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (A, K))
     tb = ((tiebreak * jnp.int32(-1640531527)) & jnp.int32(0xFFFF)).astype(
         uv.dtype) * (1.0 / 65536.0)
-    eta = 256.0 * eps_scale * scale * scale
+    eta = max(tie_scale, 256.0 * eps_scale) * scale * scale
     lift = lift + eta[:, None] * tb
 
     # Everything below stays strictly (A, T)-shaped with T on the lane axis:

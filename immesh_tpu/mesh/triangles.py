@@ -163,7 +163,8 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         pts_c, pmask_c, gidx_c, key_c = args
         uv, _, _ = pca_project(pts_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
-        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=phash)  # (T,3), (a,T)
+        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=phash,
+                                   tie_scale=cfg.tie_scale)   # (T,3), (a,T)
 
         rows, rmask = compact_triangles(keep, tris, C2)       # (a, C2)
         rowc = jnp.maximum(rows, 0)

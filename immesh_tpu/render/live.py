@@ -41,9 +41,17 @@ class RegionCache:
     rebuilds the vertex buffers of the touched regions, and returns the
     cleared store.  One region buffer = float32 (n_tris, 3 verts, 3 xyz)."""
 
-    def __init__(self, region_size: float, voxel_resolution: float):
+    def __init__(self, region_size: float, voxel_resolution: float,
+                 smooth_lam: float = 0.8):
+        """smooth_lam: display-time Laplacian blend ∈ [0, 1] — the reference
+        smooths every DISPLAYED vertex lazily with a kNN mean (get_pos(1),
+        mesh_rec_display.cpp:85-97, factor 1.0/k=20 ImMesh_node.cpp:130-131)
+        while triangulating on raw positions; here the dirty-subgraph 1-ring
+        mean stands in for the kNN set (same op, connectivity we already
+        have).  0 disables."""
         self.region_size = float(region_size)
         self.voxel_resolution = float(voxel_resolution)
+        self.smooth_lam = float(smooth_lam)
         self._voxel_geom: Dict[int, np.ndarray] = {}   # slot -> (n,3,3) f32
         self._voxel_region: Dict[int, Tuple[int, int, int]] = {}
         # inverse index: region -> member voxel slots, maintained
@@ -73,6 +81,13 @@ class RegionCache:
         if used.size:
             pts = np.asarray(jnp.take(gm.pts, jnp.asarray(used), axis=0))
             remap = {int(g): i for i, g in enumerate(used)}
+            if self.smooth_lam > 0.0 and valid.any():
+                lut = np.full(int(used.max()) + 1, -1, np.int64)
+                lut[used] = np.arange(used.size)
+                local_tris = lut[flat[valid]]
+                from immesh_tpu.runtime.export import smooth_vertices
+                pts = smooth_vertices(pts, local_tris, iterations=1,
+                                      lam=self.smooth_lam)
         else:
             pts = np.zeros((0, 3), np.float32)
             remap = {}

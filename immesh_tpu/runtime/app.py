@@ -73,7 +73,8 @@ class ImMeshRuntime:
         assert self.mesh is not None, "live viewer needs meshing enabled"
         from immesh_tpu.render.live import LiveMeshServer, RegionCache
         self._live_cache = RegionCache(self.cfg.mesh.region_size,
-                                       self.cfg.mesh.voxel_resolution)
+                                       self.cfg.mesh.voxel_resolution,
+                                       self.cfg.mesh.display_smooth_lam)
         self._live = LiveMeshServer(self._live_cache, host, port).start()
         self._live_sync_every = max(1, sync_every)
         return self._live.url
