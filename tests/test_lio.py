@@ -172,3 +172,77 @@ class TestEndToEnd:
             pipe.step(b)
         for leaf in jax.tree_util.tree_leaves(pipe.state):
             assert not np.any(np.isnan(np.asarray(leaf)))
+
+
+class TestRematchEquivalence:
+    """The reference freezes associations between iterations and RE-ASSOCIATES
+    once after convergence before accepting the state (rematch,
+    reference voxel_mapping.cpp:1627-1650).  Our lio_update re-associates
+    EVERY iteration, so equivalence requires the converged posterior to be a
+    FIXED POINT under re-association: one more fresh associate+solve from the
+    accepted state must move it by less than the convergence thresholds —
+    which is precisely the condition the reference's rematch verifies before
+    it sets m_EKF_stop_flg."""
+
+    def test_converged_state_is_reassociation_fixed_point(self, rng):
+        from immesh_tpu.config import PRESETS
+        from immesh_tpu.core.geometry import lidar_point_cov_body
+        from immesh_tpu.core.state import STATE_DIM
+        from immesh_tpu.lio.association import associate
+        from immesh_tpu.lio.esikf import lio_update
+        from immesh_tpu.map.voxel_map import VoxelMap
+
+        import dataclasses
+
+        cfg = PRESETS["sim"]()
+        # the mm-class thresholds need a few extra Gauss-Newton steps from an
+        # 8 cm perturbation (the reference datasets start near-converged)
+        lio_cfg = dataclasses.replace(cfg.lio, max_iterations=8)
+        map_cfg = cfg.voxel_map
+
+        # map: three orthogonal noisy plane patches (well-conditioned pose)
+        n = 3000
+        pts = np.zeros((n, 3), np.float32)
+        third = n // 3
+        u = rng.uniform(-4, 4, (n, 2)).astype(np.float32)
+        nz = rng.normal(scale=0.004, size=n).astype(np.float32)
+        pts[:third, :2], pts[:third, 2] = u[:third], nz[:third]
+        pts[third:2 * third, 1:], pts[third:2 * third, 0] = (
+            u[third:2 * third], 4.0 + nz[third:2 * third])
+        pts[2 * third:, ::2], pts[2 * third:, 1] = (
+            u[2 * third:], 4.0 + nz[2 * third:])
+        vm = VoxelMap.create(map_cfg)
+        vm = vm.update(jnp.asarray(pts), jnp.full(n, 1e-4),
+                       jnp.ones(n, bool))
+
+        # propagated prior: true pose perturbed
+        state_prop = EsikfState.identity().replace(
+            pos=jnp.asarray([0.08, -0.06, 0.05], jnp.float32),
+            cov=jnp.eye(STATE_DIM, dtype=jnp.float32) * 1e-2)
+        scan = jnp.asarray(pts[::3][:768])
+        mask = jnp.ones(scan.shape[0], bool)
+        pcov = lidar_point_cov_body(scan, map_cfg.dept_err, map_cfg.beam_err)
+
+        post, diag = lio_update(state_prop, vm, scan, pcov, mask,
+                                lio_cfg, map_cfg)
+        assert bool(diag["converged"]), "update must converge for this test"
+
+        # one MORE fresh associate+solve from the accepted posterior (the
+        # reference's rematch step), same algebra as esikf.body
+        p_inv = jnp.linalg.inv(state_prop.cov
+                               + jnp.eye(STATE_DIM, dtype=jnp.float32) * 1e-9)
+        assoc = associate(post, vm, scan, pcov, mask, map_cfg)
+        hw = assoc["h6"] * assoc["r_inv"][:, None]
+        A = p_inv.at[0:6, 0:6].add(hw.T @ assoc["h6"])
+        b = (p_inv @ state_prop.boxminus(post)).at[0:6].add(
+            hw.T @ (-assoc["z"]))
+        chol = jax.lax.linalg.cholesky(
+            A + jnp.eye(STATE_DIM, dtype=jnp.float32) * 1e-9)
+        delta = jax.scipy.linalg.cho_solve((chol, True), b)
+
+        rot_step = float(jnp.linalg.norm(delta[0:3]))
+        trans_step = float(jnp.linalg.norm(delta[3:6]))
+        assert rot_step < np.radians(lio_cfg.converge_rot_deg), rot_step
+        assert trans_step < lio_cfg.converge_trans_m, trans_step
+        # and the rematch step recovers the true pose (sanity on the fixture)
+        assert float(jnp.linalg.norm(post.pos)) < 0.01
