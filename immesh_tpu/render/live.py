@@ -159,6 +159,18 @@ class LiveMeshServer:
         srv.stop()
     """
 
+    #: runtime-mutable controls and their value coercions — the analogue of
+    #: the reference's GUI-mutable parameter set (pause, draw toggles,
+    #: follow camera; reference ImMesh_node.cpp:360-432).  The runtime polls
+    #: `pause` each frame; the browser viewer applies the draw toggles and
+    #: POSTs updates back, so every client and the runtime share one state.
+    CONTROL_TYPES = {
+        "pause": bool,
+        "draw_mesh": bool,
+        "draw_traj": bool,
+        "follow": bool,
+    }
+
     def __init__(self, cache: RegionCache, host: str = "127.0.0.1",
                  port: int = 0):
         self.cache = cache
@@ -166,9 +178,15 @@ class LiveMeshServer:
         # more would grow host memory without bound on long runs
         self._traj: "collections.deque" = collections.deque(maxlen=2000)
         self._traj_lock = threading.Lock()
+        self._controls = {"pause": False, "draw_mesh": True,
+                          "draw_traj": True, "follow": True}
+        self._controls_lock = threading.Lock()
         cache_ref = self.cache
         traj_ref = self._traj
         traj_lock = self._traj_lock
+        controls_ref = self._controls
+        controls_lock = self._controls_lock
+        control_types = self.CONTROL_TYPES
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):      # silence request spam
@@ -213,8 +231,32 @@ class LiveMeshServer:
                         return
                     self._send(200, cache_ref.region_bytes(rid),
                                "application/octet-stream")
+                elif path == "/controls":
+                    with controls_lock:
+                        body = json.dumps(dict(controls_ref)).encode()
+                    self._send(200, body, "application/json")
                 else:
                     self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                path, _, _ = self.path.partition("?")
+                if path != "/controls":
+                    self._send(404, b"not found", "text/plain")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    updates = json.loads(self.rfile.read(n) or b"{}")
+                    assert isinstance(updates, dict)
+                except Exception:
+                    self._send(400, b"bad controls body", "text/plain")
+                    return
+                with controls_lock:
+                    for k, v in updates.items():
+                        tp = control_types.get(k)
+                        if tp is not None:
+                            controls_ref[k] = tp(v)
+                    body = json.dumps(dict(controls_ref)).encode()
+                self._send(200, body, "application/json")
 
         self._server = http.server.ThreadingHTTPServer((host, port), Handler)
         self._thread: Optional[threading.Thread] = None
@@ -227,6 +269,25 @@ class LiveMeshServer:
     def url(self) -> str:
         h, p = self._server.server_address[:2]
         return f"http://{h}:{p}/"
+
+    # ---- runtime-mutable controls (reference ImMesh_node.cpp:360-432) ----
+    @property
+    def controls(self) -> dict:
+        """Snapshot of the control state (thread-safe copy)."""
+        with self._controls_lock:
+            return dict(self._controls)
+
+    def set_control(self, key: str, value) -> None:
+        tp = self.CONTROL_TYPES.get(key)
+        if tp is None:
+            raise KeyError(f"unknown control {key!r}")
+        with self._controls_lock:
+            self._controls[key] = tp(value)
+
+    @property
+    def paused(self) -> bool:
+        with self._controls_lock:
+            return bool(self._controls["pause"])
 
     def record_pose(self, t: float, pos, quat_xyzw=(0, 0, 0, 1)) -> None:
         with self._traj_lock:
@@ -294,31 +355,41 @@ const sub=(a,b)=>[a[0]-b[0],a[1]-b[1],a[2]-b[2]],
  dot=(a,b)=>a[0]*b[0]+a[1]*b[1]+a[2]*b[2],
  cross=(a,b)=>[a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]],
  norm3=a=>{const l=Math.hypot(...a)||1;return[a[0]/l,a[1]/l,a[2]/l]};
-// orbit camera
-let yaw=.7,pitch=.5,dist=30,target=[0,0,0],drag=null,follow=true;
+// orbit camera + runtime-mutable controls (mirrors the reference's GUI
+// toggles; state lives on the server so the runtime and every client agree)
+let yaw=.7,pitch=.5,dist=30,target=[0,0,0],drag=null;
+let ctl={pause:false,draw_mesh:true,draw_traj:true,follow:true};
+async function setCtl(k,v){ctl[k]=v;
+ try{ctl=await(await fetch("/controls",{method:"POST",
+  body:JSON.stringify({[k]:v})})).json()}catch(e){}}
 cv.addEventListener("mousedown",e=>drag=[e.clientX,e.clientY,e.button]);
 addEventListener("mouseup",()=>drag=null);
 addEventListener("mousemove",e=>{if(!drag)return;
  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
  if(drag[2]===0){yaw-=dx*.005;pitch=Math.min(1.5,Math.max(-1.5,pitch+dy*.005))}
- else{const s=dist*.002,cy=Math.cos(yaw),sy=Math.sin(yaw);follow=false;
+ else{const s=dist*.002,cy=Math.cos(yaw),sy=Math.sin(yaw);setCtl("follow",false);
   target[0]-=(-sy*dx-cy*dy)*s;target[1]-=(cy*dx-sy*dy)*s}
  drag=[e.clientX,e.clientY,drag[2]]});
 cv.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*.001);e.preventDefault()});
 cv.addEventListener("contextmenu",e=>e.preventDefault());
-addEventListener("keydown",e=>{if(e.key==="f")follow=!follow});
+addEventListener("keydown",e=>{
+ if(e.key==="f")setCtl("follow",!ctl.follow);
+ else if(e.key===" "){setCtl("pause",!ctl.pause);e.preventDefault()}
+ else if(e.key==="m")setCtl("draw_mesh",!ctl.draw_mesh);
+ else if(e.key==="t")setCtl("draw_traj",!ctl.draw_traj)});
 // region buffers
 const regions=new Map();let seq=0,nTri=0,traj=[],trajBuf=gl.createBuffer(),
  trajN=0,fetching=false;
 async function poll(){if(fetching)return;fetching=true;
- try{const st=await(await fetch("/state?since="+seq)).json();
+ try{ctl=await(await fetch("/controls")).json();
+  const st=await(await fetch("/state?since="+seq)).json();
   traj=st.traj||[];
   if(traj.length){const f=new Float32Array(traj.length*3);
    for(let i=0;i<traj.length;i++){f[3*i]=traj[i][1];f[3*i+1]=traj[i][2];
     f[3*i+2]=traj[i][3]}
    gl.bindBuffer(gl.ARRAY_BUFFER,trajBuf);
    gl.bufferData(gl.ARRAY_BUFFER,f,gl.DYNAMIC_DRAW);trajN=traj.length;
-   if(follow){const p=traj[traj.length-1];target=[p[1],p[2],p[3]]}}
+   if(ctl.follow){const p=traj[traj.length-1];target=[p[1],p[2],p[3]]}}
   for(const rid of st.changed||[]){
    const ab=await(await fetch("/region/"+rid.join(","))).arrayBuffer();
    const dv=new DataView(ab),n=dv.getInt32(16,true);
@@ -329,8 +400,10 @@ async function poll(){if(fetching)return;fetching=true;
    gl.bufferData(gl.ARRAY_BUFFER,data,gl.DYNAMIC_DRAW);r.n=n*3}
   seq=st.seq;nTri=st.n_triangles;
   hud.textContent=`immesh_tpu live — seq ${seq} · `+
-   `${st.n_regions} regions · ${nTri} triangles · `+
-   `[drag] orbit · [right-drag] pan · [wheel] zoom · [f] follow ${follow?"on":"off"}`;
+   `${st.n_regions} regions · ${nTri} triangles`+
+   (ctl.pause?" · PAUSED":"")+` · [drag] orbit · [right-drag] pan · `+
+   `[wheel] zoom · [space] pause · [m] mesh ${ctl.draw_mesh?"on":"off"} · `+
+   `[t] traj ${ctl.draw_traj?"on":"off"} · [f] follow ${ctl.follow?"on":"off"}`;
  }catch(e){hud.textContent="immesh_tpu — poll error: "+e}
  fetching=false}
 setInterval(poll,400);poll();
@@ -346,11 +419,11 @@ function frame(){
  gl.useProgram(P);gl.uniformMatrix4fv(uMVP,false,mvp);
  gl.uniformMatrix4fv(uMV,false,mv);gl.uniform3f(uT,.55,.75,.95);
  gl.enableVertexAttribArray(0);
- for(const r of regions.values()){if(!r.n)continue;
+ if(ctl.draw_mesh)for(const r of regions.values()){if(!r.n)continue;
   gl.bindBuffer(gl.ARRAY_BUFFER,r.buf);
   gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
   gl.drawArrays(gl.TRIANGLES,0,r.n)}
- if(trajN>1){gl.useProgram(LP);gl.uniformMatrix4fv(uL,false,mvp);
+ if(ctl.draw_traj&&trajN>1){gl.useProgram(LP);gl.uniformMatrix4fv(uL,false,mvp);
   gl.bindBuffer(gl.ARRAY_BUFFER,trajBuf);
   gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
   gl.drawArrays(gl.LINE_STRIP,0,trajN)}

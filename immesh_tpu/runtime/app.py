@@ -161,8 +161,20 @@ class ImMeshRuntime:
             "ba_cost": ba_cost,
         }
 
+    @property
+    def paused(self) -> bool:
+        """Runtime-mutable pause from the live viewer (reference's GUI pause
+        flag halts `service_LiDAR_update`, ImMesh_node.cpp:360-432)."""
+        return self._live is not None and self._live.paused
+
     def run(self, bundles: Iterable[ScanBundle]) -> list:
-        return [self.process_frame(b, t=k * 0.1) for k, b in enumerate(bundles)]
+        import time as _time
+        out = []
+        for k, b in enumerate(bundles):
+            while self.paused:
+                _time.sleep(0.05)
+            out.append(self.process_frame(b, t=k * 0.1))
+        return out
 
     # ------------------------------------------------------------------
     def save_mesh(self, path: str, smooth_iters: int = 0) -> tuple:

@@ -57,6 +57,89 @@ def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
         f.write(rec.tobytes())
 
 
+def extract_plane_patches(vm, scale: float = 3.0,
+                          max_planes: Optional[int] = None
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LIO plane-voxel map → displayable quads (verts, faces, colors).
+
+    The analogue of the reference's plane MarkerArray publisher `pubPlaneMap`
+    (reference src/voxel_mapping.cpp:947-1159): every fitted plane becomes a
+    flat patch centered on the plane centroid, spanned by the two in-plane
+    principal axes with half-extents `scale`·√λ (the reference draws
+    eigen-scaled CUBE markers), and jet-colored by the plane's normal
+    variance trace exactly like the reference colors by `plane_var`
+    (voxel_mapping.cpp:1004-1016 mapJet ramp).
+
+    Host-side (NumPy): visualization runs off the frame hot path.
+    Returns (verts (4P, 3) f32, faces (2P, 3) i32, colors (4P, 3) u8).
+    """
+    from immesh_tpu.map.voxel_map import _sym_unpack  # packed 3×3 helper
+
+    valid = np.asarray(vm.plane_valid)
+    slots = np.nonzero(valid)[0]
+    if max_planes is not None and slots.size > max_planes:
+        slots = slots[:max_planes]
+    P = slots.size
+    if P == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32),
+                np.zeros((0, 3), np.uint8))
+
+    center = np.asarray(vm.center)[slots]
+    n_hat = np.asarray(vm.normal)[slots]
+    lam = np.asarray(vm.lam)[slots]            # ascending eigenvalues
+    sum_p = np.asarray(vm.sum_p)[slots]
+    sum_ppT = np.asarray(np.asarray(_sym_unpack(vm.sum_ppT)))[slots]
+    count = np.maximum(np.asarray(vm.count)[slots], 1.0)
+
+    # in-plane principal axes from the scatter covariance (the stored SoA
+    # keeps only eigenvalues; re-derive eigenvectors host-side)
+    cov = sum_ppT / count[:, None, None] - np.einsum(
+        "ni,nj->nij", center, center)
+    _, vecs = np.linalg.eigh(cov + 1e-12 * np.eye(3))
+    e1, e2 = vecs[:, :, 2], vecs[:, :, 1]       # largest, middle
+    a1 = scale * np.sqrt(np.maximum(lam[:, 2], 1e-12))[:, None]
+    a2 = scale * np.sqrt(np.maximum(lam[:, 1], 1e-12))[:, None]
+
+    corners = np.stack([
+        center - e1 * a1 - e2 * a2,
+        center + e1 * a1 - e2 * a2,
+        center + e1 * a1 + e2 * a2,
+        center - e1 * a1 + e2 * a2,
+    ], axis=1).reshape(-1, 3).astype(np.float32)          # (4P, 3)
+    base = 4 * np.arange(P, dtype=np.int32)[:, None]
+    faces = np.concatenate([
+        base + np.array([[0, 1, 2]], np.int32),
+        base + np.array([[0, 2, 3]], np.int32),
+    ], axis=0)
+
+    # jet ramp over normal-covariance trace (reference plane_var coloring)
+    tr = np.asarray(vm.cov_nn)[slots][:, [0, 3, 5]].sum(axis=1)
+    t = np.sqrt(np.maximum(tr, 0.0))
+    t = np.clip(t / (np.percentile(t, 95) + 1e-12), 0.0, 1.0)
+    colors4 = np.repeat(_jet(t), 4, axis=0)
+    _ = n_hat  # normals define winding implicitly via eigh; patches are flat
+    return corners, faces, colors4
+
+
+def _jet(t: np.ndarray) -> np.ndarray:
+    """Jet-like color ramp t∈[0,1] → (N, 3) uint8 (reference mapJet,
+    tinycolormap usage in pubPlaneMap)."""
+    r = np.clip(1.5 - np.abs(4 * t - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * t - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * t - 1), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def save_plane_map_ply(vm, path: str, scale: float = 3.0,
+                       max_planes: Optional[int] = None) -> int:
+    """Write the plane-map visualization as a colored PLY; returns the number
+    of planes exported (reference publishes the same content as a ROS
+    MarkerArray on `/voxels`, src/voxel_mapping.cpp:947-1159)."""
+    verts, faces, colors = extract_plane_patches(vm, scale, max_planes)
+    save_ply(path, verts, faces, colors)
+    return len(verts) // 4
+
+
 def load_ply(path: str):
     """Read back a binary PLY written by save_ply (for tests/round-trips).
     Returns (verts, faces) or (verts, faces, colors) when color properties

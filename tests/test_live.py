@@ -141,3 +141,88 @@ class TestServer:
             assert len(st["traj"]) == 2
         finally:
             rt.stop_live_viewer()
+
+
+class TestControls:
+    """Runtime-mutable controls — the reference's GUI-mutable parameter set
+    (pause / draw toggles / follow cam, ImMesh_node.cpp:360-432) exposed over
+    the same HTTP server."""
+
+    def _req(self, port, method, path, body=None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request(method, path, body=body)
+        r = conn.getresponse()
+        raw = r.read()
+        conn.close()
+        return r.status, raw
+
+    def test_get_defaults_and_post_updates(self, meshed):
+        cfg, pipe = meshed
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        srv = LiveMeshServer(cache).start()
+        try:
+            code, body = self._req(srv.port, "GET", "/controls")
+            assert code == 200
+            ctl = json.loads(body)
+            assert ctl == {"pause": False, "draw_mesh": True,
+                           "draw_traj": True, "follow": True}
+            # POST flips pause; unknown keys are ignored, not errors
+            code, body = self._req(
+                srv.port, "POST", "/controls",
+                json.dumps({"pause": True, "bogus": 1}).encode())
+            assert code == 200
+            assert json.loads(body)["pause"] is True
+            assert "bogus" not in json.loads(body)
+            assert srv.paused
+            # malformed body → 400, state unchanged
+            code, _ = self._req(srv.port, "POST", "/controls", b"{nope")
+            assert code == 400
+            assert srv.controls["pause"] is True
+            # host-side setter round-trips too
+            srv.set_control("pause", False)
+            assert not srv.paused
+            with pytest.raises(KeyError):
+                srv.set_control("nonexistent", 1)
+        finally:
+            srv.stop()
+
+    def test_runtime_pause_blocks_run(self, meshed):
+        """ImMeshRuntime.run waits while the live viewer's pause is set."""
+        import threading
+        import time as _time
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+        from immesh_tpu.frontend.types import ScanBundle
+        from immesh_tpu.runtime.app import ImMeshRuntime
+
+        cfg = PRESETS["sim"]()
+        cfg = cfg.replace(
+            preprocess=cfg.preprocess.__class__(
+                lidar_type=cfg.preprocess.lidar_type, max_points=1024),
+            mesh=cfg.mesh.__class__(
+                points_capacity=2 ** 14, voxel_capacity=2 ** 10,
+                active_voxels_per_frame=64, mesh_chunk=8))
+        rt = ImMeshRuntime(cfg)
+        sim = LidarImuSimulator(n_rays=1024, seed=0)
+        rt.static_init(*sim.static_imu(100))
+        rt.start_live_viewer()
+        try:
+            rt._live.set_control("pause", True)
+            assert rt.paused
+
+            def bundle(k):
+                f = sim.frame(k)
+                return ScanBundle.from_numpy(
+                    f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+                    f.scan_duration, 1024, cfg.imu.max_imu_per_scan)
+
+            done = []
+            th = threading.Thread(
+                target=lambda: done.extend(rt.run([bundle(0), bundle(1)])))
+            th.start()
+            _time.sleep(0.3)
+            assert not done          # paused: no frame processed yet
+            rt._live.set_control("pause", False)
+            th.join(timeout=60)
+            assert len(done) == 2    # resumed and finished
+        finally:
+            rt.stop_live_viewer()

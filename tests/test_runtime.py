@@ -85,3 +85,50 @@ class TestOfflineMode:
         area = 0.5 * np.linalg.norm(
             np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=1).sum()
         assert 6.0 < area < 10.5, area
+
+
+class TestPlaneMapExport:
+    """Plane-map visualization export — the analogue of the reference's
+    `pubPlaneMap` MarkerArray publisher (src/voxel_mapping.cpp:947-1159)."""
+
+    def test_patches_lie_on_their_planes(self, tmp_path):
+        import jax.numpy as jnp
+        from immesh_tpu.config import VoxelMapConfig
+        from immesh_tpu.map.voxel_map import VoxelMap
+        from immesh_tpu.runtime.export import (
+            extract_plane_patches, load_ply, save_plane_map_ply)
+
+        rng = np.random.default_rng(5)
+        vm = VoxelMap.create(VoxelMapConfig(voxel_size=1.0, capacity=2 ** 12))
+        pts = rng.uniform(-8, 8, (20000, 3)).astype(np.float32)
+        pts[:, 2] = (0.01 * rng.standard_normal(20000)).astype(np.float32)
+        vm = vm.update(jnp.asarray(pts), jnp.full(len(pts), 1e-4),
+                       jnp.ones(len(pts), bool), max_voxels=1024)
+
+        verts, faces, colors = extract_plane_patches(vm, scale=2.0)
+        n_planes = len(verts) // 4
+        assert n_planes > 50                      # dense ground → many planes
+        assert faces.shape == (2 * n_planes, 3)
+        assert colors.shape == (len(verts), 3) and colors.dtype == np.uint8
+        # ground scene: every patch vertex sits near z = 0 and the two
+        # in-plane axes span xy (quad diagonal extents ≫ z extents)
+        assert np.abs(verts[:, 2]).max() < 0.25
+        quads = verts.reshape(n_planes, 4, 3)
+        span_xy = np.ptp(quads[:, :, :2], axis=1).max(axis=-1)
+        assert (span_xy > 0.2).mean() > 0.9
+
+        path = str(tmp_path / "planes.ply")
+        n = save_plane_map_ply(vm, path, scale=2.0)
+        assert n == n_planes
+        v2, f2, c2 = load_ply(path)
+        np.testing.assert_allclose(v2, verts, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+    def test_empty_map_exports_empty(self, tmp_path):
+        from immesh_tpu.config import VoxelMapConfig
+        from immesh_tpu.map.voxel_map import VoxelMap
+        from immesh_tpu.runtime.export import extract_plane_patches
+
+        vm = VoxelMap.create(VoxelMapConfig(capacity=2 ** 10))
+        verts, faces, colors = extract_plane_patches(vm)
+        assert len(verts) == 0 and len(faces) == 0
