@@ -29,7 +29,12 @@ from immesh_tpu.map.voxel_map import VoxelMap, _sym_unpack
 def _lookup_with_neighbors(vm: VoxelMap, q_world: jnp.ndarray):
     """Plane lookup at the point's voxel, falling back to the face neighbor
     toward which the point leans (reference voxel_mapping.cpp:192-222 probes
-    the near voxel when the own voxel has no plane)."""
+    the near voxel when the own voxel has no plane).
+
+    Four sequential queries (own + 3 lean-ordered neighbors), NOT one batched
+    4N query: measured on the chip, one while_loop over 4N keys runs as many
+    rounds as the worst lane across 4× the volume and loses to four short
+    loops (+4.7 ms/frame at KITTI scan sizes)."""
     res = vm.query_planes(q_world)
     found = res["found"]
     slot = res["slot"]

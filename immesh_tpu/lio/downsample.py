@@ -27,7 +27,9 @@ def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float,
     pack = jnp.where(mask, pack, jnp.int32(1 << 30))
 
     uniq = jnp.unique(pack, size=k_out, fill_value=jnp.int32(1 << 30))
-    seg = jnp.searchsorted(uniq, pack).astype(jnp.int32)
+    # method='sort': one VMEM-resident sort instead of a binary-search
+    # while-loop of N-lane gathers (measured ~13 ms/frame at 131k pts)
+    seg = jnp.searchsorted(uniq, pack, method="sort").astype(jnp.int32)
     ok = (uniq[jnp.clip(seg, 0, k_out - 1)] == pack) & mask
     seg = jnp.where(ok, seg, k_out)
 

@@ -48,8 +48,21 @@ def imu_propagate(state: EsikfState, bundle: ScanBundle, cfg: ImuConfig
                   ) -> Tuple[EsikfState, PoseSegments]:
     """Propagate mean + covariance through the scan's IMU window.
 
-    Returns the state at scan end and the pose knots for deskew.  The scan is
-    over static length M; padded samples carry dt=0 and are exact no-ops.
+    Returns the state at scan end and the pose knots for deskew.  The window
+    is static length M; padded samples carry dt=0 and are exact no-ops.
+
+    Parallel-prefix formulation: the reference integrates sample-by-sample
+    (IMU_Processing.cpp:366-484) and a literal `lax.scan` port runs M
+    sequential micro-steps — pure dispatch latency on TPU.  Every recursion
+    here is associative, so the whole window becomes ~log₂M batched levels:
+
+      * rotations: R_k = R₀·(dR₀·…·dR_{k−1})  → associative_scan of matmuls;
+      * velocity/position: affine in the (now known) per-interval world
+        accelerations → two cumsums;
+      * covariance: P_{k+1} = F_k P_k F_kᵀ + Q_k composes as
+        (F₂,Q₂)∘(F₁,Q₁) = (F₂F₁, F₂Q₁F₂ᵀ+Q₂)  → associative_scan of 18×18
+        matmul pairs (same algebra, same F/Q blocks as the reference
+        IMU_Processing.cpp:429-445).
     """
     stamps = bundle.imu_stamps
     m = stamps.shape[0]
@@ -61,50 +74,60 @@ def imu_propagate(state: EsikfState, bundle: ScanBundle, cfg: ImuConfig
     dts = stamps[1:] - stamps[:-1]
     pair_ok = bundle.imu_mask[:-1] & bundle.imu_mask[1:]
     dts = jnp.where(pair_ok, jnp.maximum(dts, 0.0), 0.0)
+    dt1 = dts[:, None]
 
     g_std = jnp.sqrt(jnp.asarray(cfg.gyr_cov, dtype))
     a_std = jnp.sqrt(jnp.asarray(cfg.acc_cov, dtype))
 
-    def step(carry, inp):
-        rot, pos, vel, cov = carry
-        acc, gyr, dt = inp
-        w = gyr - state.bg
-        a_body = acc - state.ba
-        a_world = rot @ a_body + state.grav
+    w = gyr_mid - state.bg[None, :]          # (K, 3) bias-corrected rates
+    a_body = acc_mid - state.ba[None, :]
+    dR = so3.exp(w * dt1)                    # (K, 3, 3); dt=0 → exact I
 
-        # knot emitted BEFORE integrating: pose at interval start
-        knot = (rot, pos, vel, w, a_world)
+    # ---- rotation knots: prefix products of dR --------------------------
+    pfx = jax.lax.associative_scan(jnp.matmul, dR)          # dR₀…dR_k
+    rot_after = jnp.einsum("ij,kjl->kil", state.rot, pfx)   # R at interval ends
+    k_rot = jnp.concatenate([state.rot[None], rot_after[:-1]], 0)  # starts
+    rot_e = rot_after[-1]
 
-        dR = so3.exp(w * dt)
-        rot_n = rot @ dR
-        pos_n = pos + vel * dt + 0.5 * a_world * dt * dt
-        vel_n = vel + a_world * dt
+    # ---- velocity / position knots (world accel known per interval) -----
+    a_world = jnp.einsum("kij,kj->ki", k_rot, a_body) + state.grav[None, :]
+    dv = a_world * dt1
+    k_vel = state.vel[None, :] + jnp.concatenate(
+        [jnp.zeros((1, 3), dtype), jnp.cumsum(dv, 0)[:-1]], 0)
+    dp = k_vel * dt1 + 0.5 * a_world * dt1 * dt1
+    k_pos = state.pos[None, :] + jnp.concatenate(
+        [jnp.zeros((1, 3), dtype), jnp.cumsum(dp, 0)[:-1]], 0)
+    vel_e = k_vel[-1] + dv[-1]
+    pos_e = k_pos[-1] + dp[-1]
+    k_gyr, k_accw = w, a_world
 
-        # 18×18 covariance: F = I + dt·A with the standard ESIKF blocks
-        # (reference IMU_Processing.cpp:429-445 F_x / cov_w assembly)
-        F = jnp.eye(STATE_DIM, dtype=dtype)
-        F = F.at[0:3, 0:3].set(dR.T)
-        F = F.at[0:3, 9:12].set(-so3.a_matrix(w * dt) * dt)
-        F = F.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype) * dt)
-        F = F.at[6:9, 0:3].set(-rot @ so3.hat(a_body) * dt)
-        F = F.at[6:9, 12:15].set(-rot * dt)
-        F = F.at[6:9, 15:18].set(jnp.eye(3, dtype=dtype) * dt)
+    # ---- 18×18 covariance via associative composition -------------------
+    # F = I + dt·A with the standard ESIKF blocks (reference F_x / cov_w)
+    K = dts.shape[0]
+    eye3 = jnp.eye(3, dtype=dtype)
+    F = jnp.tile(jnp.eye(STATE_DIM, dtype=dtype)[None], (K, 1, 1))
+    F = F.at[:, 0:3, 0:3].set(jnp.swapaxes(dR, 1, 2))
+    F = F.at[:, 0:3, 9:12].set(-so3.a_matrix(w * dt1) * dt1[..., None])
+    F = F.at[:, 3:6, 6:9].set(eye3[None] * dt1[..., None])
+    F = F.at[:, 6:9, 0:3].set(
+        -jnp.einsum("kij,kjl->kil", k_rot, so3.hat(a_body)) * dt1[..., None])
+    F = F.at[:, 6:9, 12:15].set(-k_rot * dt1[..., None])
+    F = F.at[:, 6:9, 15:18].set(eye3[None] * dt1[..., None])
 
-        Q = jnp.zeros((STATE_DIM, STATE_DIM), dtype)
-        Q = Q.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * (g_std * dt) ** 2)
-        Q = Q.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * (a_std * dt) ** 2)
-        Q = Q.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * cfg.b_gyr_cov * dt)
-        Q = Q.at[12:15, 12:15].set(jnp.eye(3, dtype=dtype) * cfg.b_acc_cov * dt)
+    Q = jnp.zeros((K, STATE_DIM, STATE_DIM), dtype)
+    Q = Q.at[:, 0:3, 0:3].set(eye3[None] * ((g_std * dt1) ** 2)[..., None])
+    Q = Q.at[:, 6:9, 6:9].set(eye3[None] * ((a_std * dt1) ** 2)[..., None])
+    Q = Q.at[:, 9:12, 9:12].set(eye3[None] * (cfg.b_gyr_cov * dt1)[..., None])
+    Q = Q.at[:, 12:15, 12:15].set(eye3[None] * (cfg.b_acc_cov * dt1)[..., None])
 
-        cov_n = F @ cov @ F.T + Q
-        # masked intervals (dt=0): F=I, Q=0 ⇒ exact no-op already
-        return (rot_n, pos_n, vel_n, cov_n), knot
+    def compose(a, b):
+        """(F₁,Q₁) then (F₂,Q₂): P → F₂(F₁PF₁ᵀ+Q₁)F₂ᵀ+Q₂."""
+        Fa, Qa = a
+        Fb, Qb = b
+        return (Fb @ Fa, Fb @ Qa @ jnp.swapaxes(Fb, -1, -2) + Qb)
 
-    (rot_e, pos_e, vel_e, cov_e), knots = jax.lax.scan(
-        step, (state.rot, state.pos, state.vel, state.cov),
-        (acc_mid, gyr_mid, dts),
-    )
-    k_rot, k_pos, k_vel, k_gyr, k_accw = knots
+    Phi, Theta = jax.lax.associative_scan(compose, (F, Q))
+    cov_e = Phi[-1] @ state.cov @ Phi[-1].T + Theta[-1]
 
     # final knot at the last stamp (pose after the last interval)
     last_w = bundle.imu_gyr[-1] - state.bg

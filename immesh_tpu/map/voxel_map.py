@@ -132,7 +132,8 @@ class VoxelMap:
         pack = jnp.where(mask, pack, jnp.int32(1 << 30))  # invalid → sentinel
 
         uniq = jnp.unique(pack, size=max_voxels, fill_value=jnp.int32(1 << 30))
-        seg = jnp.searchsorted(uniq, pack).astype(jnp.int32)
+        # method='sort': avoids the binary-search gather loop (hot at 131k)
+        seg = jnp.searchsorted(uniq, pack, method="sort").astype(jnp.int32)
         seg_ok = (uniq[jnp.clip(seg, 0, max_voxels - 1)] == pack) & mask
         seg = jnp.where(seg_ok, seg, max_voxels)  # dropped/invalid → overflow bin
 

@@ -41,49 +41,97 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _incircle_kernel(lift_ref, planes_ref, out_ref):
-    """Fused incircle scores + column-min for 8 voxels × one triangle tile.
+def _incircle_kernel(uvlw_ref, tris_ref, scal_ref, out_ref):
+    """Fully-fused Delaunay test for 8 voxels × one candidate tile.
 
-    lift_ref:   (8, 8, Kp)  [voxel, channel, point]; channels 0-3 =
-                [u, v, u²+v², 1]·valid, 4-7 zero
-    planes_ref: (8, 8, TT)  [voxel, channel, candidate]; channels 0-3 =
-                [nx, ny, nz, −off], 4-7 zero
-    out_ref:    (8, TT)     min over points of the plane-side score
+    Everything from candidate-vertex gather to the incircle column-min runs
+    in VMEM: the earlier two-stage version materialized twelve (A, T)
+    vertex/edge/plane arrays in HBM before a score-only kernel — measured
+    ~20 ms/frame of pure HBM traffic at A=512, T=17k.  Here the only HBM
+    tensors are the (8ch, Kp) point block per voxel and the (8, TT) output.
 
-    The (Kp, TT) score matrix lives only in VMEM — the jnp fallback
-    materializes it to HBM, which dominates the meshing frame time.
-    Invalid/padded point columns are all-zero ⇒ score 0 ⇒ never < −ε.
+    uvlw_ref: (8, 8, Kp) [voxel, channel, point]; channels:
+              0-3 = [u, v, lift, 1]·valid   (score contraction, w-folded)
+              4-6 = [u, v, lift] raw        (vertex extraction)
+              7   = zero
+    tris_ref: (8, TT) int32; rows 0-2 = candidate vertex indices (ia, ib, ic)
+    scal_ref: (8, 128) f32; col 0 = per-voxel degeneracy gate ε·scale²
+    out_ref:  (8, TT) min incircle score, or −inf for degenerate/invalid
+              candidates (vertex masked out, |2·area| ≤ gate)
+
+    Vertex extraction is a one-hot masked lane-reduction (exact in f32 —
+    a gather via MXU would round coordinates unless run at HIGHEST).
+    Invalid/padded point columns are all-zero in channels 0-3 ⇒ score 0 ⇒
+    never < −ε.
     """
-    s = jax.lax.dot_general(
-        lift_ref[:], planes_ref[:],
-        (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # exact-f32 passes on the MXU
-    )  # (8, Kp, TT)
-    out_ref[:] = jnp.min(s, axis=1)
+    ia = tris_ref[0, :]
+    ib = tris_ref[1, :]
+    ic = tris_ref[2, :]
+    tt = ia.shape[0]
+    kp = uvlw_ref.shape[2]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tt, kp), 1)
+
+    for v in range(8):
+        L = uvlw_ref[v]                                   # (8, Kp)
+
+        def vert(idx):
+            oh = lanes == idx[:, None]                    # (TT, Kp)
+            pick = lambda row: jnp.sum(                   # noqa: E731
+                jnp.where(oh, row[None, :], 0.0), axis=1)
+            return pick(L[4]), pick(L[5]), pick(L[6]), pick(L[3])
+
+        ua, va, la, wa = vert(ia)
+        ub, vb, lb, wb = vert(ib)
+        uc, vc, lc, wc = vert(ic)
+
+        e1u, e1v, e1l = ub - ua, vb - va, lb - la
+        e2u, e2v, e2l = uc - ua, vc - va, lc - la
+        area2 = e1u * e2v - e1v * e2u
+        ccw = jnp.sign(area2)
+        # lifted plane through (a,b,c), oriented CCW (z-component positive)
+        nx = (e1v * e2l - e1l * e2v) * ccw
+        ny = (e1l * e2u - e1u * e2l) * ccw
+        nz = area2 * ccw
+        off = nx * ua + ny * va + nz * la
+
+        z = jnp.zeros_like(nx)
+        planes = jnp.stack([nx, ny, nz, -off, z, z, z, z], axis=0)  # (8, TT)
+        s = jax.lax.dot_general(
+            planes, L,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact-f32 MXU passes
+        )                                                  # (TT, Kp)
+        min_s = jnp.min(s, axis=1)
+
+        ok = (wa > 0) & (wb > 0) & (wc > 0)
+        ok &= jnp.abs(area2) > scal_ref[v, 0]
+        out_ref[v, :] = jnp.where(ok, min_s, -jnp.inf)
 
 
-def _incircle_min_scores(lifted8: jnp.ndarray, planes8: jnp.ndarray,
-                         tt: int = 1024) -> jnp.ndarray:
-    """(A, 8, Kp), (A, 8, Tp) → (A, Tp) min incircle score per candidate.
-
-    A must be a multiple of 8 (8 voxels per grid cell for output tiling)."""
-    A, _, Kp = lifted8.shape
-    Tp = planes8.shape[2]
+def _incircle_min_scores(uvlw8: jnp.ndarray, tris8: jnp.ndarray,
+                         min_area: jnp.ndarray, tt: int = 1024) -> jnp.ndarray:
+    """(A, 8, Kp), (8, Tp), (A,) → (A, Tp) min incircle score per candidate
+    (−inf = degenerate/invalid).  A must be a multiple of 8."""
+    A, _, Kp = uvlw8.shape
+    Tp = tris8.shape[1]
     assert Tp % tt == 0 and A % 8 == 0
+    scal = jnp.zeros((A, 128), jnp.float32).at[:, 0].set(min_area)
     return pl.pallas_call(
         _incircle_kernel,
         grid=(A // 8, Tp // tt),
         in_specs=[
             pl.BlockSpec((8, 8, Kp), lambda a, t: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8, tt), lambda a, t: (a, 0, t),
+            pl.BlockSpec((8, tt), lambda a, t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda a, t: (a, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((8, tt), lambda a, t: (a, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((A, Tp), jnp.float32),
-    )(lifted8, planes8)
+    )(uvlw8, tris8, scal)
 
 
 @functools.lru_cache(maxsize=8)
@@ -177,9 +225,34 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     eta = max(tie_scale, 256.0 * eps_scale) * scale * scale
     lift = lift + eta[:, None] * tb
 
-    # Everything below stays strictly (A, T)-shaped with T on the lane axis:
-    # stacked (A, T, 2/3) intermediates put a size-2/3 axis minor-most, which
-    # XLA lane-pads/relayouts — that cost dominated the meshing frame time.
+    eps = eps_scale * scale[:, None] ** 4                        # (A, 1)
+    min_area = eps_scale * scale ** 2                            # (A,)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # fully-fused VMEM kernel: vertex gather, plane build, incircle
+        # scores, and validity gates all stay on-chip (see _incircle_kernel)
+        Kp = _round_up(K, 128)
+        Tp = _round_up(T, 1024)
+        Ap = _round_up(A, 8)
+        w = mask.astype(uv.dtype)
+        uvlw8 = jnp.zeros((Ap, 8, Kp), jnp.float32)
+        uvlw8 = uvlw8.at[:A, 0, :K].set(u * w)
+        uvlw8 = uvlw8.at[:A, 1, :K].set(v * w)
+        uvlw8 = uvlw8.at[:A, 2, :K].set(lift * w)
+        uvlw8 = uvlw8.at[:A, 3, :K].set(w)
+        uvlw8 = uvlw8.at[:A, 4, :K].set(u)
+        uvlw8 = uvlw8.at[:A, 5, :K].set(v)
+        uvlw8 = uvlw8.at[:A, 6, :K].set(lift)
+        # padded candidate rows are (0,0,0): zero area ⇒ −inf ⇒ dropped
+        tris8 = jnp.zeros((8, Tp), jnp.int32)
+        tris8 = tris8.at[0:3, :T].set(tris.T)
+        ma = jnp.pad(min_area, (0, Ap - A))
+        min_s = _incircle_min_scores(uvlw8, tris8, ma, tt=1024)[:A, :T]
+        # own vertices score ±f32-rounding ≈ 1e-7·s⁴ ≪ ε — no exclusion
+        # needed; −inf encodes masked-vertex / degenerate candidates
+        return tris, min_s >= -eps
+
+    # ---- jnp fallback (CPU tests / oracle comparisons) -------------------
     ia, ib, ic = tris[:, 0], tris[:, 1], tris[:, 2]
     tk = lambda x, idx: jnp.take(x, idx, axis=1)  # (A,K) -> (A,T)  # noqa: E731
     ua, va, la = tk(u, ia), tk(v, ia), tk(lift, ia)
@@ -190,8 +263,7 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     e2u, e2v, e2l = uc - ua, vc - va, lc - la
     area2 = e1u * e2v - e1v * e2u                 # signed 2·area
     ccw = jnp.sign(area2)
-    min_area = eps_scale * scale[:, None] ** 2
-    nondeg = jnp.abs(area2) > min_area
+    nondeg = jnp.abs(area2) > min_area[:, None]
 
     # lifted plane through (a,b,c): normal = (B−A)×(C−A) in 3-D lift space,
     # oriented so the z-component (=2·area) is positive (CCW convention)
@@ -200,36 +272,13 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     nz = area2 * ccw
     off = nx * ua + ny * va + nz * la             # (A, T)
 
-    # scores = planes · lifted points ; inside ⇔ score < −ε
-    eps = eps_scale * scale[:, None] ** 4                        # (A, 1)
-    use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        # fused VMEM kernel: the (K, T) score matrix never reaches HBM
-        Kp = _round_up(K, 128)
-        Tp = _round_up(T, 1024)
-        Ap = _round_up(A, 8)
-        w = mask.astype(uv.dtype)
-        lifted8 = jnp.zeros((Ap, 8, Kp), jnp.float32)
-        lifted8 = lifted8.at[:A, 0, :K].set(u * w)
-        lifted8 = lifted8.at[:A, 1, :K].set(v * w)
-        lifted8 = lifted8.at[:A, 2, :K].set(lift * w)
-        lifted8 = lifted8.at[:A, 3, :K].set(w)
-        planes8 = jnp.zeros((Ap, 8, Tp), jnp.float32)
-        planes8 = planes8.at[:A, 0, :T].set(nx)
-        planes8 = planes8.at[:A, 1, :T].set(ny)
-        planes8 = planes8.at[:A, 2, :T].set(nz)
-        planes8 = planes8.at[:A, 3, :T].set(-off)
-        min_s = _incircle_min_scores(lifted8, planes8, tt=1024)[:A, :T]
-        # own vertices score ±f32-rounding ≈ 1e-7·s⁴ ≪ ε — no exclusion needed
-        bad = min_s < -eps
-    else:
-        planes = jnp.stack([nx, ny, nz, -off], axis=-1)            # (A, T, 4)
-        lifted = jnp.stack(
-            [u, v, lift, jnp.ones_like(u)], axis=-1)               # (A, K, 4)
-        scores = jnp.einsum("atc,akc->atk", planes, lifted)
-        own = jnp.asarray(_own_vertex_mask(K))                     # (T, K)
-        inside = (scores < -eps[..., None]) & mask[:, None, :] & ~own[None]
-        bad = jnp.any(inside, axis=-1)                             # (A, T)
+    planes = jnp.stack([nx, ny, nz, -off], axis=-1)            # (A, T, 4)
+    lifted = jnp.stack(
+        [u, v, lift, jnp.ones_like(u)], axis=-1)               # (A, K, 4)
+    scores = jnp.einsum("atc,akc->atk", planes, lifted)
+    own = jnp.asarray(_own_vertex_mask(K))                     # (T, K)
+    inside = (scores < -eps[..., None]) & mask[:, None, :] & ~own[None]
+    bad = jnp.any(inside, axis=-1)                             # (A, T)
 
     m3 = (
         mask[:, tris[:, 0]] & mask[:, tris[:, 1]] & mask[:, tris[:, 2]]

@@ -58,7 +58,8 @@ def _frame_unique(pack: jnp.ndarray, mask: jnp.ndarray, k: int):
     n = pack.shape[0]
     pack = jnp.where(mask, pack, _SENTINEL)
     uniq = jnp.unique(pack, size=k, fill_value=_SENTINEL)
-    seg = jnp.searchsorted(uniq, pack).astype(jnp.int32)
+    # method='sort': avoids the binary-search gather loop (hot at 131k)
+    seg = jnp.searchsorted(uniq, pack, method="sort").astype(jnp.int32)
     ok = (uniq[jnp.clip(seg, 0, k - 1)] == pack) & mask & (pack != _SENTINEL)
     ids = jnp.arange(n, dtype=jnp.int32)
     first = jnp.full(k + 1, n, jnp.int32).at[

@@ -160,7 +160,22 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     C2 = min(4 * C, 2 * cfg.pull_capacity)
 
     def one_chunk(args):
+        """Full per-chunk pipeline, skipped wholesale when the chunk has no
+        active voxel: the active work list is compacted (valid slots first),
+        so in steady state most chunks are padding — lax.cond makes their
+        cost zero instead of full O(K⁴) (the reference's TBB loop likewise
+        only visits voxels with new points,
+        ImMesh_mesh_reconstruction.cpp:129-132)."""
         pts_c, pmask_c, gidx_c, key_c = args
+        a = pts_c.shape[0]
+        return jax.lax.cond(
+            jnp.any(pmask_c),
+            lambda: _chunk_impl(pts_c, pmask_c, gidx_c, key_c),
+            lambda: (jnp.full((a, C, 3), -1, jnp.int32),
+                     jnp.zeros(a, jnp.int32)),
+        )
+
+    def _chunk_impl(pts_c, pmask_c, gidx_c, key_c):
         uv, _, _ = pca_project(pts_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
         tris, keep = delaunay_mask(uv, pmask_c, tiebreak=phash,

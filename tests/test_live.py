@@ -51,7 +51,11 @@ class TestRegionCache:
 
     def test_region_bytes_roundtrip(self, meshed):
         cfg, pipe = meshed
-        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        # smoothing off: region membership is exact on RAW vertex positions
+        # (the display-time Laplacian can drag a borderline centroid a few
+        # centimetres across a region face — cosmetic, not an ownership bug)
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution,
+                            smooth_lam=0.0)
         cache.sync(pipe.gm, pipe.store)
         rid = cache.changed_since(0)[0]
         raw = cache.region_bytes(rid)

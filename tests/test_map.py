@@ -192,3 +192,4 @@ class TestVoxelMap:
             pts = _make_plane_scan(rng, n=300, extent=3.0)
             vm = step(vm, jnp.asarray(pts), jnp.full(300, 1e-4), jnp.ones(300, bool))
         assert int(vm.n_voxels()) > 10
+
