@@ -125,13 +125,22 @@ class HashTable:
             slot = jnp.where(~done & match, cand, slot)
             done = done | match
 
-            # claim tournament on empty candidate slots
+            # Claim tournament on empty candidate slots, resolved batch-
+            # locally: stable-sort lanes by candidate slot and let the first
+            # lane of each equal-slot run win (stable sort preserves id
+            # order, so the winner is the lowest id — same semantics as a
+            # scatter-min race, but O(U log U) on-chip instead of writing a
+            # (capacity,)-sized claim scratch to HBM every probe round.
+            # At reference-scale tables (1e8 points → 2^27+ dedup slots,
+            # pointcloud_rgbd.cpp:278-294) the scratch was the wall.)
             attempt = ~done & is_empty
-            claim = jnp.full(self.capacity, u, jnp.int32)
-            claim = claim.at[jnp.where(attempt, cand, self.capacity)].min(
-                ids, mode="drop"
-            )
-            won = attempt & (claim[cand] == ids)
+            sort_key = jnp.where(attempt, cand, jnp.int32(self.capacity))
+            order = jnp.argsort(sort_key, stable=True)
+            sk = sort_key[order]
+            head = jnp.concatenate(
+                [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+            ) & (sk < self.capacity)
+            won = jnp.zeros(u, bool).at[order].set(head)
             keys = keys.at[jnp.where(won, cand, self.capacity)].set(
                 coords, mode="drop"
             )
