@@ -126,19 +126,17 @@ def _dp_lio_body(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
 
 
 def _merge_aggregates(uc, agg, ok):
-    """Sum aggregate rows with identical voxel keys (cross-shard dedup)."""
+    """Sum aggregate rows with identical voxel keys (cross-shard dedup).
+
+    Keys are compared EXACTLY on all four int32 columns (one variadic
+    lexicographic sort) — the earlier x+(y<<11) packing aliased coordinates
+    beyond ±1024 cells (~256 m at level-1 avia resolution); the reference's
+    equivalent is exact VOXEL_LOC key equality (voxel_loc.hpp:106-127)."""
     u = uc.shape[0]
-    # 62-bit-safe packing in int32 pairs is overkill here: voxel coords are
-    # bounded (|c| < 2^20), so fold to int64-like via two int32 keys → sort
-    key_lo = uc[:, 0] + (uc[:, 1] << 11)
-    key_hi = uc[:, 2] + (uc[:, 3] << 22)
-    # combine via lexsort-equivalent: sort by (hi, lo)
-    order = jnp.lexsort((key_lo, key_hi, ~ok))
+    # primary key: validity (invalid rows last), then the 4 coord columns
+    order = jnp.lexsort((uc[:, 3], uc[:, 2], uc[:, 1], uc[:, 0], ~ok))
     uc_s, agg_s, ok_s = uc[order], agg[order], ok[order]
-    lo_s, hi_s = key_lo[order], key_hi[order]
-    same = (
-        (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]) & ok_s[1:] & ok_s[:-1]
-    )
+    same = jnp.all(uc_s[1:] == uc_s[:-1], axis=-1) & ok_s[1:] & ok_s[:-1]
     head = jnp.concatenate([jnp.asarray([True]), ~same])
     # segment ids by cumulative heads, then sum aggregates per segment
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1

@@ -67,7 +67,7 @@ def _mp_mesh_body(gm: GlobalPointMap, store: TriangleStore,
     pts_all = jax.lax.all_gather(scan_local, axis).reshape(-1, 3)
     mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
 
-    gm, slots, smask = gm.append_frame(pts_all, mask_all)  # identical/replica
+    gm, slots, smask, _ = gm.append_frame(pts_all, mask_all)  # identical/replica
 
     # shard the active voxels over the axis
     A = slots.shape[0]
@@ -76,7 +76,7 @@ def _mp_mesh_body(gm: GlobalPointMap, store: TriangleStore,
     sl = jax.lax.dynamic_slice_in_dim(slots, d * per, per)
     sm = jax.lax.dynamic_slice_in_dim(smask, d * per, per)
 
-    ids, counts = triangulate_voxels(
+    ids, counts, _ = triangulate_voxels(
         gm, sl, sm, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
 
     # gather every chip's results → identical store update everywhere
@@ -122,7 +122,7 @@ class ShardedMeshMap:
     The halo width-2 invariant: owned voxels pull 27-neighborhoods (±1
     column); a pulled point near the slab edge may belong to a dedup cell
     straddling a voxel boundary, and the in-frame dedup representative
-    (global_map._frame_unique `first`) is only chip-consistent when every
+    (map/hash.frame_unique_coords `first`) is only chip-consistent when every
     point of that cell is inside the chip's append mask — 2 columns of halo
     guarantee it for all points any owned voxel can pull."""
 
@@ -169,14 +169,14 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
     mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
 
     keep = smm.append_keep(pts_all)
-    gm, slots, smask = smm.gm.append_frame(pts_all, mask_all & keep)
+    gm, slots, smask, _ = smm.gm.append_frame(pts_all, mask_all & keep)
     smm = smm.replace(gm=gm)  # ownership must read the POST-append table —
     # freshly inserted slots are EMPTY in the old one (key x = sentinel)
 
     # triangulate only the active voxels this chip OWNS — halo voxels are
     # re-meshed by their owner, whose halo covers this chip's edge points
     smask = smask & smm.owns_voxel(slots)
-    ids, counts = triangulate_voxels(
+    ids, counts, _ = triangulate_voxels(
         gm, slots, smask, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
     store = apply_triangles(smm.store, slots, smask, ids, counts)
     smm = smm.replace(gm=gm.mark_meshed(slots, smask), store=store)

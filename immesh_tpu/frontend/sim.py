@@ -57,6 +57,44 @@ def default_scene(extent: float = 12.0, height: float = 5.0) -> List[Rect]:
     return rects
 
 
+def outdoor_scene(length: float = 400.0, half_width: float = 12.0,
+                  seed: int = 3) -> List[Rect]:
+    """KITTI-like street canyon spanning hundreds of metres: long ground
+    strip, building facades with gaps and varying heights/setbacks on both
+    sides, parked boxes.  Unlike the 12 m room (default_scene) this exercises
+    the real operational envelope of the kitti preset (reference
+    config/velodyne.yaml: 3 m odometry voxels over KITTI's ±120 m scans):
+    thousands of distinct map cells per frame, frontier growth, compaction."""
+    rng = np.random.default_rng(seed)
+    z = np.array([0.0, 0.0, 1.0])
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([0.0, 1.0, 0.0])
+    rects = [Rect(np.array([length / 2, 0.0, 0.0]), z, x, y,
+                  length / 2 + 30.0, half_width + 30.0)]  # ground
+    for side in (-1.0, 1.0):
+        s = -20.0
+        while s < length + 20.0:
+            seg = rng.uniform(12.0, 30.0)
+            gap = rng.uniform(0.0, 8.0)
+            h = rng.uniform(5.0, 14.0)
+            off = half_width + rng.uniform(0.0, 6.0)
+            c = np.array([s + seg / 2, side * off, h / 2])
+            rects.append(Rect(c, -side * y, x, z, seg / 2, h / 2))
+            s += seg + gap
+    for _ in range(16):  # parked boxes
+        cx = rng.uniform(5.0, length)
+        cy = rng.uniform(-1.0, 1.0) * (half_width - 4.0)
+        hw = rng.uniform(0.8, 1.6)
+        hh = rng.uniform(0.8, 1.8)
+        c = np.array([cx, cy, hh / 2])
+        for n, t in (((1, 0, 0), (0, 1, 0)), ((0, 1, 0), (1, 0, 0))):
+            n, t = np.array(n, float), np.array(t, float)
+            for sgn in (1.0, -1.0):
+                rects.append(Rect(c + sgn * n * hw, sgn * n, t, z, hw, hh / 2))
+        rects.append(Rect(np.array([cx, cy, hh]), z, x, y, hw, hw))
+    return rects
+
+
 def _rot_zyx(yaw, pitch, roll):
     cy, sy = np.cos(yaw), np.sin(yaw)
     cp, sp = np.cos(pitch), np.sin(pitch)
@@ -99,6 +137,39 @@ class Trajectory:
         yaw = w * t + np.pi / 2  # facing along velocity
         pitch = self.sway * np.sin(1.7 * w * t)
         roll = self.sway * np.cos(2.9 * w * t)
+        return _rot_zyx(yaw, pitch, roll), p
+
+
+class ForwardTrajectory:
+    """Forward-driving trajectory (KITTI-like): cruise along +x with a gentle
+    lateral weave, matching yaw, small attitude sway.  Same quadratic launch
+    ramp as Trajectory so static init holds."""
+
+    def __init__(self, speed: float = 9.0, z0: float = 1.7,
+                 weave_amp: float = 0.8, weave_freq: float = 0.02,
+                 sway: float = 0.01, t_ramp: float = 2.0):
+        self.v, self.z0 = speed, z0
+        self.wa, self.wf, self.sway = weave_amp, weave_freq, sway
+        self.t_ramp = t_ramp
+
+    def _warp(self, t: float) -> float:
+        tr = self.t_ramp
+        if t <= 0:
+            return 0.0
+        if t < tr:
+            return t * t / (2 * tr)
+        return t - tr / 2
+
+    def pose(self, t: float) -> Tuple[np.ndarray, np.ndarray]:
+        s = self.v * self._warp(t)                 # arc length along the road
+        w = 2 * np.pi * self.wf
+        # 1−cos weave: y(0)=0 AND yaw(0)=0, so the filter's identity start
+        # frame coincides with the world frame (up to the z0 offset)
+        yv = self.wa * (1.0 - np.cos(w * s))
+        p = np.array([s, yv, self.z0 + 0.05 * np.sin(0.9 * w * s)])
+        yaw = np.arctan(self.wa * w * np.sin(w * s))
+        pitch = self.sway * np.sin(1.3 * w * s)
+        roll = self.sway * (1.0 - np.cos(2.1 * w * s))
         return _rot_zyx(yaw, pitch, roll), p
 
 

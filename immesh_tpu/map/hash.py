@@ -157,6 +157,43 @@ class HashTable:
         return jnp.sum(self.keys[:, 0] != EMPTY)
 
 
+def frame_unique_coords(coords: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Exact first-occurrence dedup of int32 coordinate rows within one frame.
+
+    coords: (N, C) int32 rows (C ≤ 4); mask: (N,) validity.
+    Returns (seg, first, n_uniq):
+      seg   (N,) int32 ∈ [0, k] — row → unique index (coordinate-sorted
+            order); k ⇒ invalid row or unique-capacity overflow;
+      first (k,) int32 — lowest input row holding unique key u; N ⇒ pad;
+      n_uniq () int32 — TRUE number of distinct valid keys (may exceed k —
+            callers report max(0, n_uniq − k) as dropped work).
+
+    Replaces the former scan-local 30-bit packing (clamped to 1024 cells per
+    axis, which silently aliased distinct cells once a frame spanned >1024
+    grid cells — real KITTI scans at a 0.15 m dedup grid do) with ONE
+    variadic lexicographic sort over the raw coordinate columns: exact over
+    the full int32 range, like the reference's exact-key spatial hashes
+    (reference src/tools/tools_kd_hash.hpp:54-136).
+    """
+    n, c = coords.shape
+    big = jnp.int32(0x7FFFFFFF)
+    cols = tuple(jnp.where(mask, coords[:, i], big) for i in range(c))
+    ids = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort(cols + (ids,), num_keys=c)
+    sorted_cols, order = out[:c], out[c]
+    diff = jnp.zeros(n - 1, bool)
+    for sc in sorted_cols:
+        diff = diff | (sc[1:] != sc[:-1])
+    head = jnp.concatenate([jnp.ones((1,), bool), diff])
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1
+    valid_s = mask[order]
+    segs = jnp.where(valid_s & (rank < k), rank, k)
+    seg = jnp.zeros(n, jnp.int32).at[order].set(segs)
+    first = jnp.full(k + 1, n, jnp.int32).at[segs].min(order, mode="drop")[:k]
+    n_uniq = jnp.sum((head & valid_s).astype(jnp.int32))
+    return seg, first, n_uniq
+
+
 def voxel_coords(pts: jnp.ndarray, voxel_size: float, level: int = 0) -> jnp.ndarray:
     """World points (N, 3) → int32 key quadruples (N, 4) at the given level.
 

@@ -33,7 +33,8 @@ from flax import struct
 
 from immesh_tpu.config import VoxelMapConfig
 from immesh_tpu.core.geometry import plane_from_moments
-from immesh_tpu.map.hash import EMPTY, HashTable, voxel_coords
+from immesh_tpu.map.hash import (
+    EMPTY, HashTable, frame_unique_coords, voxel_coords)
 
 # upper-triangle index pairs for symmetric 3×3 ↔ length-6 storage
 _TRI = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
@@ -121,21 +122,13 @@ class VoxelMap:
         replica applies the identical update (dist/lio.py).
         """
         cfg = self.cfg
+        n = pts.shape[0]
         coords = voxel_coords(pts, cfg.voxel_size, level)
 
-        # pack to a scan-local 30-bit key (extent ≤1024 voxels per axis within
-        # one scan — bounded by max sensor range / voxel size)
-        big = jnp.int32(1 << 20)
-        cmin = jnp.min(jnp.where(mask[:, None], coords[:, :3], big), axis=0)
-        local = jnp.clip(coords[:, :3] - cmin, 0, 1023)
-        pack = local[:, 0] + (local[:, 1] << 10) + (local[:, 2] << 20)
-        pack = jnp.where(mask, pack, jnp.int32(1 << 30))  # invalid → sentinel
-
-        uniq = jnp.unique(pack, size=max_voxels, fill_value=jnp.int32(1 << 30))
-        # method='sort': avoids the binary-search gather loop (hot at 131k)
-        seg = jnp.searchsorted(uniq, pack, method="sort").astype(jnp.int32)
-        seg_ok = (uniq[jnp.clip(seg, 0, max_voxels - 1)] == pack) & mask
-        seg = jnp.where(seg_ok, seg, max_voxels)  # dropped/invalid → overflow bin
+        # exact scan-local dedup of the raw int32 coordinates (one variadic
+        # sort — no packed-key extent bound; see map/hash.frame_unique_coords)
+        seg, first, _ = frame_unique_coords(coords[:, :3], mask, max_voxels)
+        seg_ok = seg < max_voxels
 
         w = seg_ok.astype(pts.dtype)
         feats = jnp.concatenate(
@@ -149,14 +142,8 @@ class VoxelMap:
         )
         agg = jax.ops.segment_sum(feats, seg, num_segments=max_voxels + 1)[:-1]
 
-        uniq_valid = uniq != (1 << 30)
-        lx = uniq & 1023
-        ly = (uniq >> 10) & 1023
-        lz = (uniq >> 20) & 1023
-        uniq_coords = jnp.stack(
-            [lx + cmin[0], ly + cmin[1], lz + cmin[2],
-             jnp.full_like(uniq, level)], axis=-1
-        )
+        uniq_valid = first < n
+        uniq_coords = coords[jnp.minimum(first, n - 1)]
         return uniq_coords, agg, uniq_valid
 
     def apply_aggregates(self, uniq_coords, agg, uniq_valid, level: int

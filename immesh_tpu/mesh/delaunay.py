@@ -286,6 +286,104 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     return tris, m3 & nondeg & ~bad
 
 
+def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
+                   eps_scale: float = 1e-6,
+                   tiebreak: Optional[jnp.ndarray] = None,
+                   tie_scale: float = 256.0 * 1e-6
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(K³) Delaunay via the dual edge-neighbor characterization — the
+    production kernel (delaunay_mask is the O(K⁴) oracle kept for tests).
+
+    For every directed edge (i→j), the Delaunay triangle on its left has the
+    third vertex k* that minimizes the lifted-plane slope through (i, j, k)
+    among points strictly left of the edge (equivalently: maximizes the
+    inscribed angle ∠ikj — the empty-circumcircle point).  A triangle
+    (i, j, k) is Delaunay iff all three of its directed edges agree:
+    W[i,j]=k, W[j,k]=i, W[k,i]=j.  This replaces the C(K,3)·K incircle sweep
+    (reference CGAL call, mesh_rec_geometry.cpp:253-254) with K³ broadcasted
+    arithmetic built entirely from two K×K matrices (Gram + cross), no
+    per-candidate vertex gathers — ~7× less work and a 7.5× smaller
+    candidate axis (K² pairs vs C(K,3) triples) for every downstream filter.
+
+    Same symbolic perturbation of the lift as delaunay_mask (hash of the
+    point identity), so cocircular ties resolve identically in every voxel
+    and on every chip.
+
+    uv: (A, K, 2), mask: (A, K).  Returns (trip (A, K², 3) int32 vertex
+    index triples, keep (A, K²) bool) — triples are per-voxel (unlike
+    delaunay_mask's shared candidate table).
+    """
+    A, K, _ = uv.shape
+    dt = uv.dtype
+    u, v = uv[..., 0], uv[..., 1]
+    lift = u * u + v * v
+    scale = jnp.maximum(
+        jnp.max(jnp.where(mask, jnp.abs(u), 0.0), axis=-1)
+        + jnp.max(jnp.where(mask, jnp.abs(v), 0.0), axis=-1),
+        1e-3,
+    )  # (A,)
+
+    if tiebreak is None:
+        tiebreak = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (A, K))
+    tb = ((tiebreak * jnp.int32(-1640531527)) & jnp.int32(0xFFFF)).astype(
+        dt) * (1.0 / 65536.0)
+    eta = max(tie_scale, 256.0 * eps_scale) * scale * scale
+    lift = lift + eta[:, None] * tb
+
+    # K×K building blocks: Gram and cross matrices (one small MXU matmul)
+    G = jnp.einsum("aki,ali->akl", uv, uv)                    # (A, K, K)
+    Cx = u[:, :, None] * v[:, None, :] - v[:, :, None] * u[:, None, :]
+    gd = lift - eta[:, None] * tb                              # |p|² = u²+v²
+    e2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G             # |p_j−p_i|²
+
+    # (A, K, K, K) broadcast tensors, axes [a, i, j, k] — XLA fuses the whole
+    # chain into the argmin reduction, nothing K³ is materialized
+    # d = cross(p_j−p_i, p_k−p_i) = C[j,k] + C[i,j] − C[i,k]  (2·area, >0 ⇔ k left)
+    d = (Cx[:, None, :, :] + Cx[:, :, :, None] - Cx[:, :, None, :])
+    # m′ = (p_k−p_i)·(p_j−p_i) = G[j,k] − G[i,k] − G[i,j] + G[i,i]
+    mp = (G[:, None, :, :] - G[:, :, None, :] - G[:, :, :, None]
+          + gd[:, :, None, None])
+    Li = lift[:, :, None, None]
+    Lj = lift[:, None, :, None]
+    Lk = lift[:, None, None, :]
+    # plane slope along the left normal, ×(d·|e|²) — comparable as N′/d since
+    # d > 0 on the valid set and |e|² > 0
+    Np = (Lk - Li) * e2[:, :, :, None] - mp * (Lj - Li)
+
+    d_eps = (eps_scale * scale * scale)[:, None, None, None]
+    valid = (mask[:, :, None, None] & mask[:, None, :, None]
+             & mask[:, None, None, :] & (d > d_eps))
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    ratio = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
+    W = jnp.argmin(ratio, axis=-1).astype(jnp.int32)           # (A, K, K)
+    has = jnp.min(ratio, axis=-1) < big                        # some left k
+
+    # mutual agreement: W[i,j]=k ∧ W[j,k]=i ∧ W[k,i]=j
+    ar = jnp.arange(K, dtype=jnp.int32)
+    ii, jj = ar[:, None], ar[None, :]
+    Wf = W.reshape(A, K * K)
+    hf = has.reshape(A, K * K)
+
+    def g2(flat, r, c):  # flat (A, K²) gathered at [r, c] — both (…, K, K)
+        idx = (r * K + c).reshape(A, K * K)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(A, K, K)
+
+    W_jk = g2(Wf, jnp.broadcast_to(jj, (A, K, K)), W)
+    W_ki = g2(Wf, W, jnp.broadcast_to(ii, (A, K, K)))
+    h_jk = g2(hf, jnp.broadcast_to(jj, (A, K, K)), W)
+    h_ki = g2(hf, W, jnp.broadcast_to(ii, (A, K, K)))
+    agree = has & h_jk & h_ki & (W_jk == ii[None]) & (W_ki == jj[None])
+    # emit each triangle once, from the directed edge leaving its min vertex
+    emit = agree & (ii[None] < jj[None]) & (ii[None] < W)
+
+    trip = jnp.stack([
+        jnp.broadcast_to(ii[None], (A, K, K)),
+        jnp.broadcast_to(jj[None], (A, K, K)),
+        W,
+    ], axis=-1).reshape(A, K * K, 3)
+    return trip, emit.reshape(A, K * K)
+
+
 def angle_filter(p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
                  max_angle_deg: float) -> jnp.ndarray:
     """Sliver filter on 3-D vertex triples (..., 3): max interior angle gate

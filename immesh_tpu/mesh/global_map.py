@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from immesh_tpu.config import MeshConfig
-from immesh_tpu.map.hash import EMPTY, HashTable
+from immesh_tpu.map.hash import EMPTY, HashTable, frame_unique_coords
 
 _SENTINEL = jnp.int32(1 << 30)
 
@@ -44,28 +44,6 @@ def _grid_coords(pts: jnp.ndarray, size: float, tag: int) -> jnp.ndarray:
     c = jnp.floor(pts / size).astype(jnp.int32)
     t = jnp.full((pts.shape[0], 1), tag, jnp.int32)
     return jnp.concatenate([c, t], axis=-1)
-
-
-def _frame_unique(pack: jnp.ndarray, mask: jnp.ndarray, k: int):
-    """First-occurrence dedup of packed keys within one frame.
-
-    Returns (uniq_pack (k,), seg (N,) ∈[0,k], first (k,)) where seg maps every
-    point to its uniq row (k ⇒ invalid/overflow) and first[u] is the lowest
-    input row holding uniq key u (N if the row is padding).  Row order of
-    `first` matches uniq order, so downstream arrays indexed by uniq row and
-    arrays gathered through `first` stay aligned.
-    """
-    n = pack.shape[0]
-    pack = jnp.where(mask, pack, _SENTINEL)
-    uniq = jnp.unique(pack, size=k, fill_value=_SENTINEL)
-    # method='sort': avoids the binary-search gather loop (hot at 131k)
-    seg = jnp.searchsorted(uniq, pack, method="sort").astype(jnp.int32)
-    ok = (uniq[jnp.clip(seg, 0, k - 1)] == pack) & mask & (pack != _SENTINEL)
-    ids = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.full(k + 1, n, jnp.int32).at[
-        jnp.where(ok, seg, k)
-    ].min(ids, mode="drop")[:-1]
-    return uniq, jnp.where(ok, seg, k), first
 
 
 @struct.dataclass
@@ -101,9 +79,20 @@ class GlobalPointMap:
 
     # ==================================================================
     def append_frame(self, pts_world: jnp.ndarray, mask: jnp.ndarray
-                     ) -> Tuple["GlobalPointMap", jnp.ndarray, jnp.ndarray]:
+                     ) -> Tuple["GlobalPointMap", jnp.ndarray, jnp.ndarray,
+                                dict]:
         """Append one frame of world points (dedup'd); returns
-        (new_map, active_slots (A,), active_mask (A,)) — the meshing work list.
+        (new_map, active_slots (A,), active_mask (A,), drops) — the meshing
+        work list plus bounded-loss accounting (all () int32 device scalars):
+          drops["cells"]   distinct dedup cells beyond max_pts_per_frame
+          drops["points"]  fresh points lost to point-store capacity
+          drops["voxels"]  touched voxels beyond active_voxels_per_frame,
+                           plus voxel hash-insert failures
+          drops["slots"]   fresh points lost to full per-voxel slot rows
+          drops["active"]  dilated active voxels beyond the per-frame cap
+        (the reference warns and drops on overload too,
+        ImMesh_mesh_reconstruction.cpp:288-297 — here the counters make the
+        loss observable instead of silent).
 
         Mirrors append_points_to_global_map + the recent-visited-voxel set
         (pointcloud_rgbd.cpp:412-552), with the active set dilated to occupied
@@ -116,8 +105,7 @@ class GlobalPointMap:
 
         # ---- 1. in-frame dedup at the min-spacing grid -------------------
         cell = _grid_coords(pts_world, cfg.pts_minimum_scale, tag=0)
-        pack = _pack_local(cell[:, :3], mask)
-        _, _, first = _frame_unique(pack, mask, k_cells)
+        _, first, n_cells = frame_unique_coords(cell[:, :3], mask, k_cells)
 
         # ---- 2. map-level dedup: find-or-insert into the presence grid ---
         # representative row per distinct cell → hash-insert sees unique keys
@@ -134,6 +122,7 @@ class GlobalPointMap:
         new_ids = jnp.where(fresh, self.pt_count + order, _SENTINEL)
         n_new = jnp.sum(fresh.astype(jnp.int32))
         cap_ok = new_ids < cfg.points_capacity
+        drop_points = jnp.sum((fresh & ~cap_ok).astype(jnp.int32))
         fresh = fresh & cap_ok
         tgt = jnp.where(fresh, new_ids, cfg.points_capacity)
         pts_store = self.pts.at[tgt].set(pts_world[ci], mode="drop")
@@ -142,9 +131,8 @@ class GlobalPointMap:
 
         # ---- 4. voxel membership: rank-ordered scatter append ------------
         vcell = _grid_coords(pts_world[ci], cfg.voxel_resolution, tag=0)
-        vpack = _pack_local(vcell[:, :3], fresh)
         A = cfg.active_voxels_per_frame
-        _, vseg, vfirst = _frame_unique(vpack, fresh, A)
+        vseg, vfirst, n_vox = frame_unique_coords(vcell[:, :3], fresh, A)
         # insert/find the unique voxels via their representative rows (uniq
         # order), so vslots[u] is the slot of uniq voxel u
         vok = vfirst < k_cells
@@ -159,6 +147,7 @@ class GlobalPointMap:
         S = cfg.pts_per_voxel
         base = jnp.where(write_ok, self.vox_n[jnp.maximum(vslot_of_cand, 0)], 0)
         pos = base + rank
+        drop_slots = jnp.sum((write_ok & (pos >= S)).astype(jnp.int32))
         write_ok = write_ok & (pos < S)
         flat = jnp.where(
             write_ok, jnp.maximum(vslot_of_cand, 0) * S + pos,
@@ -182,13 +171,23 @@ class GlobalPointMap:
         )
 
         # ---- 5. active set = touched voxels ∪ occupied neighbors ---------
-        active_slots, active_mask = gm._dilate_active(vslots, vok & (vslots >= 0))
-        return gm, active_slots, active_mask
+        active_slots, active_mask, drop_active = gm._dilate_active(
+            vslots, vok & (vslots >= 0))
+        drops = {
+            "cells": jnp.maximum(n_cells - k_cells, 0),
+            "points": drop_points,
+            "voxels": (jnp.maximum(n_vox - A, 0)
+                       + jnp.sum((vok & (vslots < 0)).astype(jnp.int32))),
+            "slots": drop_slots,
+            "active": drop_active,
+        }
+        return gm, active_slots, active_mask, drops
 
     # ------------------------------------------------------------------
     def _dilate_active(self, touched: jnp.ndarray, tmask: jnp.ndarray):
         """Expand the touched-voxel set to its occupied 26-neighborhood,
-        bounded to cfg.active_voxels_per_frame entries (excess dropped)."""
+        bounded to cfg.active_voxels_per_frame entries; returns
+        (slots, mask, n_dropped) with the excess counted."""
         cfg = self.cfg
         A = cfg.active_voxels_per_frame
         keys = self.vox.keys[jnp.maximum(touched, 0)]       # (A, 4)
@@ -203,10 +202,13 @@ class GlobalPointMap:
             & (nb_slots >= 0)
         )
         nb_ok = nb_ok & (self.vox_n[jnp.maximum(nb_slots, 0)] >= 3)
-        # dedup slots, keep first A
-        slot_or = jnp.where(nb_ok, nb_slots, _SENTINEL)
-        uniq = jnp.unique(slot_or, size=A, fill_value=_SENTINEL)
-        return jnp.minimum(uniq, self.vox_n.shape[0] - 1), uniq != _SENTINEL
+        # dedup slots, keep first A, count the overflow
+        seg, first, n_uniq = frame_unique_coords(
+            jnp.where(nb_ok, nb_slots, 0)[:, None], nb_ok, A)
+        ok = first < nb_slots.shape[0]
+        slots = nb_slots[jnp.minimum(first, nb_slots.shape[0] - 1)]
+        return (jnp.where(ok, slots, self.vox_n.shape[0] - 1), ok,
+                jnp.maximum(n_uniq - A, 0))
 
     # ------------------------------------------------------------------
     def pull_neighborhood(self, slots: jnp.ndarray, smask: jnp.ndarray
@@ -357,14 +359,6 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p <<= 1
     return p
-
-
-def _pack_local(c: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Frame-local 30-bit pack of int32 grid coords (extent ≤1024 cells)."""
-    big = jnp.int32(1 << 20)
-    cmin = jnp.min(jnp.where(mask[:, None], c, big), axis=0)
-    local = jnp.clip(c - cmin, 0, 1023)
-    return local[:, 0] + (local[:, 1] << 10) + (local[:, 2] << 20)
 
 
 def _compact_indices(keep: jnp.ndarray, k: int) -> jnp.ndarray:

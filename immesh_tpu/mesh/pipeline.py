@@ -34,10 +34,14 @@ def mesh_step(gm: GlobalPointMap, store: TriangleStore,
     (e.g. the texture renderer, immesh_tpu/texture/render.py) can reuse the
     same recently-visited-voxel set the reference shares between meshing and
     colorization (pointcloud_rgbd.cpp `m_voxels_recent_visited`)."""
-    gm, slots, smask = gm.append_frame(pts_world, mask)
-    store = mesh_voxels(gm, store, slots, smask, sensor_pos, chunk)
+    gm, slots, smask, drops = gm.append_frame(pts_world, mask)
+    store, n_emitted, tri_drop = mesh_voxels(
+        gm, store, slots, smask, sensor_pos, chunk)
     gm = gm.mark_meshed(slots, smask)
-    return gm, store, jnp.sum(smask.astype(jnp.int32)), slots, smask
+    diag = {f"drop_{k}": v for k, v in drops.items()}
+    diag["drop_tris"] = tri_drop
+    diag["tris_emitted"] = n_emitted
+    return gm, store, jnp.sum(smask.astype(jnp.int32)), slots, smask, diag
 
 
 class MeshPipeline:
@@ -51,6 +55,8 @@ class MeshPipeline:
         # active work list of the most recent step (device arrays), reused by
         # the texture renderer
         self.last_active = None
+        # bounded-loss drop counters of the most recent step (device scalars)
+        self.last_drops = None
 
     def step(self, pts_world, mask, sensor_pos):
         """Returns the active-voxel count as a DEVICE scalar — callers that
@@ -64,7 +70,8 @@ class MeshPipeline:
         if pts_world.shape[0] == 0:  # static shapes need ≥1 row; mask it out
             pts_world = np.zeros((1, 3), np.float32)
             mask = np.zeros(1, bool)
-        self.gm, self.store, n_active, slots, smask = mesh_step(
+        (self.gm, self.store, n_active, slots, smask,
+         self.last_drops) = mesh_step(
             self.gm, self.store, jnp.asarray(pts_world), jnp.asarray(mask),
             jnp.asarray(sensor_pos), self.cfg.mesh.mesh_chunk,
         )

@@ -33,7 +33,7 @@ from flax import struct
 
 from immesh_tpu.config import MeshConfig
 from immesh_tpu.mesh.delaunay import (
-    angle_filter, compact_triangles, delaunay_mask, pca_project,
+    angle_filter, compact_triangles, delaunay_pairs, pca_project,
 )
 from immesh_tpu.mesh.global_map import GlobalPointMap
 
@@ -109,11 +109,15 @@ def remap_store(store: TriangleStore, slot_map: jnp.ndarray,
 def mesh_voxels(gm: GlobalPointMap, store: TriangleStore,
                 slots: jnp.ndarray, smask: jnp.ndarray,
                 sensor_pos: jnp.ndarray,
-                chunk: int = 16) -> TriangleStore:
-    """Re-triangulate the active voxels and replace their triangle lists."""
-    ids, counts = triangulate_voxels(
+                chunk: int = 16) -> Tuple[TriangleStore, jnp.ndarray]:
+    """Re-triangulate the active voxels and replace their triangle lists.
+    Returns (store, n_emitted, n_dropped) — n_emitted is the number of
+    triangles BUILT this frame (the mesh throughput unit, not net store
+    growth); n_dropped counts capacity-cap losses."""
+    ids, counts, dropped = triangulate_voxels(
         gm, slots, smask, sensor_pos, store.cfg, chunk)
-    return apply_triangles(store, slots, smask, ids, counts)
+    n_emitted = jnp.sum(jnp.where(smask, counts, 0))
+    return apply_triangles(store, slots, smask, ids, counts), n_emitted, dropped
 
 
 def apply_triangles(store: TriangleStore, slots: jnp.ndarray,
@@ -134,8 +138,9 @@ def apply_triangles(store: TriangleStore, slots: jnp.ndarray,
 def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
                        smask: jnp.ndarray, sensor_pos: jnp.ndarray,
                        cfg: MeshConfig, chunk: int = 16
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pure compute: active voxels → (ids (A, C, 3) global pt ids, counts (A,)).
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure compute: active voxels → (ids (A, C, 3) global pt ids, counts (A,),
+    dropped () — triangles lost to the per-voxel C2/C capacity caps).
 
     The per-voxel pipeline (pull → PCA project → Delaunay → filters →
     ownership → winding) matches `incremental_mesh_reconstruction`
@@ -155,8 +160,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     # a full Delaunay of K pulled points has ≤ 2K−5 triangles, of which only
     # the voxel-owned subset (≤ C) survives; compacting to C2 right after the
     # Delaunay test keeps every later filter on a tiny (a, C2) set instead of
-    # the full (a, T) candidate axis — the former (a, T) elementwise chain
-    # dominated the meshing frame time
+    # the full (a, K²) candidate axis
     C2 = min(4 * C, 2 * cfg.pull_capacity)
 
     def one_chunk(args):
@@ -172,18 +176,21 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             jnp.any(pmask_c),
             lambda: _chunk_impl(pts_c, pmask_c, gidx_c, key_c),
             lambda: (jnp.full((a, C, 3), -1, jnp.int32),
-                     jnp.zeros(a, jnp.int32)),
+                     jnp.zeros(a, jnp.int32), jnp.zeros((), jnp.int32)),
         )
 
     def _chunk_impl(pts_c, pmask_c, gidx_c, key_c):
         uv, _, _ = pca_project(pts_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
-        tris, keep = delaunay_mask(uv, pmask_c, tiebreak=phash,
-                                   tie_scale=cfg.tie_scale)   # (T,3), (a,T)
+        trip, keep = delaunay_pairs(uv, pmask_c, tiebreak=phash,
+                                    tie_scale=cfg.tie_scale)  # (a,K²,3), (a,K²)
 
-        rows, rmask = compact_triangles(keep, tris, C2)       # (a, C2)
+        rows, rmask = compact_triangles(keep, trip, C2)       # (a, C2)
+        drop1 = jnp.sum(jnp.maximum(
+            jnp.sum(keep.astype(jnp.int32), axis=-1) - C2, 0))
         rowc = jnp.maximum(rows, 0)
-        tri3 = tris[rowc]                                     # (a, C2, 3)
+        tri3 = jnp.take_along_axis(
+            trip, rowc[..., None].repeat(3, -1), axis=1)      # (a, C2, 3)
 
         def gatherp(e):
             return jnp.take_along_axis(
@@ -239,6 +246,8 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         keep2 = keep2 & jnp.all(cen_key == key_c[:, None, :], axis=-1)
 
         rows2, rmask2 = compact_triangles(keep2, tri3, C)     # (a, C) → C2 rows
+        drop2 = jnp.sum(jnp.maximum(
+            jnp.sum(keep2.astype(jnp.int32), axis=-1) - C, 0))
         r2 = jnp.maximum(rows2, 0)
         take = lambda x: jnp.take_along_axis(x, r2, axis=1)   # noqa: E731
         ids = jnp.stack([take(s0), take(s1), take(s2)], axis=-1)  # (a, C, 3)
@@ -256,7 +265,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             ids,
         )
         ids = jnp.where(rmask2[..., None], ids, -1)
-        return ids, rmask2.sum(axis=-1).astype(jnp.int32)
+        return ids, rmask2.sum(axis=-1).astype(jnp.int32), drop1 + drop2
 
     # chunk over voxels to bound the (chunk, T, K) incircle intermediate
     pad = (-A) % chunk
@@ -266,9 +275,9 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     def reshape_c(x):
         return padc(x).reshape((n_chunks, chunk) + x.shape[1:])
 
-    ids, counts = jax.lax.map(
+    ids, counts, dropped = jax.lax.map(
         one_chunk,
         (reshape_c(pts), reshape_c(pmask), reshape_c(gidx), reshape_c(vox_key)),
     )
     return (ids.reshape(n_chunks * chunk, C, 3)[:A],
-            counts.reshape(-1)[:A])
+            counts.reshape(-1)[:A], jnp.sum(dropped))

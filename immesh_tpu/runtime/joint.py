@@ -36,9 +36,9 @@ def joint_step(state: EsikfState, vm: VoxelMap, gm: GlobalPointMap,
                store: TriangleStore, bundle: ScanBundle, cfg: ImMeshConfig):
     """propagate → deskew → ESIKF → map grow → append → re-mesh, fused."""
     state, vm, world_scan, diag = lio_step(state, vm, bundle, cfg)
-    gm, store, n_active, slots, smask = mesh_step(
+    gm, store, n_active, slots, smask, mdiag = mesh_step(
         gm, store, world_scan, bundle.mask, state.pos, cfg.mesh.mesh_chunk)
-    diag = dict(diag, n_active_voxels=n_active)
+    diag = dict(diag, n_active_voxels=n_active, **mdiag)
     return state, vm, gm, store, world_scan, slots, smask, diag
 
 
@@ -63,6 +63,12 @@ class JointPipeline:
         self.mesh.last_active = (slots, smask)
         self.frame_idx += 1
         self.lio.frame_idx = self.mesh.frame_idx = self.frame_idx
+        # lifetime management on the fused path too: occupancy polls are
+        # host-side every compact_check_every frames, compaction itself is a
+        # jitted device program (reference bounds its working set by RAM
+        # reserves + recent-voxel expiry, pointcloud_rgbd.cpp:278-294,425-455)
+        self.lio.maybe_compact()
+        self.mesh.maybe_compact(self.lio.state.pos)
         return world_scan, diag
 
     @property

@@ -103,11 +103,11 @@ class TestGlobalPointMap:
         gm = GlobalPointMap.create(cfg)
         rng = np.random.default_rng(0)
         pts = rng.uniform(0, 2, (500, 3)).astype(np.float32)
-        gm, s, m = gm.append_frame(jnp.asarray(pts), jnp.ones(500, bool))
+        gm, s, m, _ = gm.append_frame(jnp.asarray(pts), jnp.ones(500, bool))
         n1 = int(gm.pt_count)
         assert 0 < n1 <= 500
         # appending the identical frame adds nothing
-        gm, s, m = gm.append_frame(jnp.asarray(pts), jnp.ones(500, bool))
+        gm, s, m, _ = gm.append_frame(jnp.asarray(pts), jnp.ones(500, bool))
         assert int(gm.pt_count) == n1
         # min-spacing enforced
         kept = np.asarray(gm.pts[:n1])
@@ -121,7 +121,7 @@ class TestGlobalPointMap:
         g = np.arange(0.05, 0.8, 0.11, dtype=np.float32)
         X, Y = np.meshgrid(g, g)
         pts = np.stack([X.ravel(), Y.ravel(), np.zeros(X.size, np.float32)], -1)
-        gm, slots, smask = gm.append_frame(
+        gm, slots, smask, _ = gm.append_frame(
             jnp.asarray(pts), jnp.ones(len(pts), bool))
         pull = gm.pull_neighborhood(slots, smask)
         a = int(np.argmax(np.asarray(smask)))
