@@ -2,21 +2,33 @@
 reference's own workload scales (BASELINE.md).
 
 Headline metric (the ONE printed JSON line): joint odom+mesh frames/s at
-KITTI scale — 131,072-point scans under the kitti preset's map/mesh
-resolutions. vs_baseline = frames_per_second / 10: the reference is ≈1.0×
-real time at 10 Hz scans on an i9-10900 (BASELINE.md; back-pressure criterion
-reference ImMesh_mesh_reconstruction.cpp:294-297).
+KITTI scale — 131,072-point scans over an OUTDOOR street-canyon scene
+(hundreds of metres, forward driving) in the kitti preset's true operating
+mode: IMU-less constant-twist odometry, 3 m odometry voxels, 0.15 m dedup /
+0.6 m meshing grids (reference config/velodyne.yaml + the distance_scale=1.5
+override in launch/mapping_velody64.launch).  vs_baseline = frames_per_second
+/ 10: the reference is ≈1.0× real time at 10 Hz scans on an i9-10900
+(BASELINE.md; back-pressure criterion ImMesh_mesh_reconstruction.cpp:294-297).
 
-The same JSON line carries an `extra` dict with the full metric set VERDICT
-round 1 asked for, and everything is also written to BENCH_DETAIL.json:
+Honesty instrumentation (VERDICT r2 items 2/8/9): every bounded-loss drop
+counter (dedup cells, point capacity, voxel caps, active-voxel cap, triangle
+caps) is summed over the run and reported; map occupancy and the number of
+compaction events are reported; triangle throughput counts triangles EMITTED
+per frame (build rate), not net store growth.
+
+The one JSON line carries an `extra` dict with the full metric set; the
+superset is also written to BENCH_DETAIL.json:
 
   * odom_mesh_frames_per_s_kitti131k  — headline (above)
-  * odom_mesh_frames_per_s_sim8k      — round-1 continuity point (8,192-pt scans)
+  * odom_mesh_frames_per_s_sim8k      — round-1 continuity point (8,192-pt
+                                        scans, indoor room, IMU on)
   * lio_frames_per_s_kitti131k        — odometry alone at KITTI scale
-  * mesh_triangles_per_s              — live triangles built/s during the
-                                        KITTI-scale run (mesh growth rate)
-  * ate_rmse_m_sim                    — eval/ate.py over a TUM trace written
-                                        by a sim replay (accuracy regression)
+  * mesh_tris_emitted_per_s           — triangles BUILT per second during the
+                                        KITTI-scale run
+  * ate_rmse_m_sim / ate_rmse_m_kitti — eval/ate.py over TUM traces
+  * ate_ba_off / ate_ba_on            — window-BA A/B on the localization
+                                        replay (BASELINE.md north star)
+  * drops_*                           — bounded-loss accounting (should be ~0)
   * mfu_pct                           — XLA-counted FLOPs of the fused frame
                                         program / frame time / bf16 peak
                                         (honest: this workload is gather/
@@ -37,24 +49,36 @@ import time
 PEAK_FLOPS_BF16 = 197e12
 
 
+def make_sim(cfg, outdoor: bool, seed: int = 0):
+    from immesh_tpu.frontend.sim import (
+        ForwardTrajectory, LidarImuSimulator, outdoor_scene)
+    if outdoor:
+        return LidarImuSimulator(
+            scene=outdoor_scene(length=400.0),
+            traj=ForwardTrajectory(speed=9.0),
+            n_rays=cfg.preprocess.max_points, rings=64,
+            max_range=120.0, seed=seed)
+    return LidarImuSimulator(n_rays=cfg.preprocess.max_points, seed=seed)
+
+
 def run_scale(cfg, n_frames, warmup, lio_only=False,
-              with_ate=False, ate_path=None):
+              with_ate=False, ate_path=None, outdoor=False):
     """Build a pipeline at cfg's scale, replay the simulator, measure."""
     import jax
     import numpy as np
-    from immesh_tpu.frontend.sim import LidarImuSimulator
     from immesh_tpu.frontend.types import ScanBundle
     from immesh_tpu.lio.pipeline import LioPipeline
     from immesh_tpu.runtime.joint import JointPipeline
 
-    sim = LidarImuSimulator(n_rays=cfg.preprocess.max_points, seed=0)
+    sim = make_sim(cfg, outdoor)
     if lio_only:
         pipe = LioPipeline(cfg)
         lio, mesh = pipe, None
     else:
         pipe = JointPipeline(cfg)
         lio, mesh = pipe.lio, pipe.mesh
-    lio.static_init(*sim.static_imu(100))
+    if cfg.imu.imu_en:
+        lio.static_init(*sim.static_imu(100))
 
     def bundle(k):
         f = sim.frame(k)
@@ -75,11 +99,11 @@ def run_scale(cfg, n_frames, warmup, lio_only=False,
         pipe.step(frames[k])
     sync()
 
-    tri0 = int(mesh.store.n_triangles()) if mesh is not None else 0
-    poses = []
+    poses, diags = [], []
     t0 = time.perf_counter()
     for k in range(warmup, warmup + n_frames):
-        pipe.step(frames[k])
+        _, diag = pipe.step(frames[k])
+        diags.append(diag)  # device scalars; summed after the timing loop
         if with_ate:
             # async device copy — the live buffer is donated into the next
             # frame's program, so a bare reference would be deleted
@@ -90,12 +114,24 @@ def run_scale(cfg, n_frames, warmup, lio_only=False,
 
     out = {"frames_per_s": fps, "ms_per_frame": 1000.0 * dt / n_frames}
     if mesh is not None:
-        tri1 = int(mesh.store.n_triangles())
-        out["triangles_per_s"] = (tri1 - tri0) / dt
-        out["live_triangles"] = tri1
+        # bounded-loss accounting + build-rate throughput (device scalars,
+        # transferred once here, after timing)
+        drops = {}
+        emitted = 0
+        for d in diags:
+            for k_, v in d.items():
+                if k_.startswith("drop_"):
+                    drops[k_] = drops.get(k_, 0) + int(v)
+            emitted += int(d.get("tris_emitted", 0))
+        out["drops"] = drops
+        out["tris_emitted_per_s"] = emitted / dt
+        out["live_triangles"] = int(mesh.store.n_triangles())
+        out["map_points"] = int(mesh.gm.n_points())
+        out["map_mesh_voxels"] = int(mesh.gm.vox.occupancy())
+        out["map_lio_voxels"] = int(lio.vm.n_voxels())
+        out["n_compactions"] = mesh.n_compactions + lio.n_compactions
 
     if with_ate:
-        import numpy as np
         from immesh_tpu.eval import ate as ate_mod
         from immesh_tpu.utils.timers import TrajectoryLogger
         # evaluate_ate Umeyama-aligns internally — log raw filter positions
@@ -113,6 +149,81 @@ def run_scale(cfg, n_frames, warmup, lio_only=False,
             ate_mod.load_tum(ate_path), ate_mod.load_tum(gt_path))
         out["ate_rmse_m"] = res["ate_rmse"]
     return out, pipe, frames
+
+
+def kitti_config():
+    """The kitti preset at its true operating point (reference
+    config/velodyne.yaml): 131,072-pt scans, IMU-less constant-twist mode,
+    meshing capacities sized so the outdoor run crosses the compaction
+    high-water mark (lifetime management must FIRE during the bench, not
+    exist on an untraveled code path)."""
+    from immesh_tpu.config import PRESETS
+    base = PRESETS["kitti"]()
+    return base.replace(
+        preprocess=base.preprocess.__class__(
+            lidar_type=100, blind=0.05, max_points=131072),
+        mesh=base.mesh.__class__(
+            pts_minimum_scale=0.15, voxel_resolution=0.6,
+            points_capacity=2 ** 18, voxel_capacity=2 ** 15,
+            compact_check_every=8, local_map_radius=120.0,
+        ),
+    )
+
+
+def run_ba_ab(n_frames=40):
+    """Window-BA A/B: localization-mode replay with recurring pose kicks on a
+    prebuilt map — ATE with BA feedback on vs off (the drift-injected replay
+    of tests/test_window_ba.py, measured instead of asserted)."""
+    import numpy as np
+    from immesh_tpu.config import PRESETS, BaConfig, LioConfig
+    from immesh_tpu.frontend.sim import LidarImuSimulator
+    from immesh_tpu.frontend.types import ScanBundle
+    from immesh_tpu.lio.pipeline import LioPipeline
+    from immesh_tpu.runtime.app import ImMeshRuntime
+
+    def _bundle(f, cfg):
+        return ScanBundle.from_numpy(
+            f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+            f.scan_duration, cfg.preprocess.max_points,
+            cfg.imu.max_imu_per_scan)
+
+    sim = LidarImuSimulator(n_rays=2048, seed=3)
+    cfg_map = PRESETS["sim"]()
+    pipe = LioPipeline(cfg_map)
+    pipe.static_init(*sim.static_imu(100))
+    for k in range(30):
+        pipe.step(_bundle(sim.frame(k), cfg_map))
+    vm_clean = pipe.vm
+    R0_true, _ = sim.traj.pose(0.0)
+
+    def run(ba_on):
+        sim2 = LidarImuSimulator(n_rays=1024, seed=11)
+        cfg = PRESETS["sim"]().replace(
+            lio=LioConfig(max_iterations=1, downsample_voxel=2.0,
+                          map_update_points=64, update_map=False),
+            ba=BaConfig(enabled=ba_on, window_size=5,
+                        kf_trans_thresh=0.25, pts_per_keyframe=512,
+                        iterations=8, huber_delta=0.3,
+                        odo_w_rot=1e2, odo_w_t=1e2))
+        rt = ImMeshRuntime(cfg, mesh_enabled=False)
+        rt.static_init(*sim2.static_imu(100))
+        rt.lio.vm = vm_clean
+        R_align = R0_true @ np.asarray(rt.lio.state.rot).T
+        kick = np.random.default_rng(0)
+        errs = []
+        for k in range(n_frames):
+            f = sim2.frame(k)
+            if k and k % 10 == 0:  # recurring disturbance
+                st = rt.lio.state
+                rt.lio.state = st.replace(
+                    pos=st.pos + kick.normal(scale=0.25, size=3)
+                    .astype(np.float32))
+            rt.step(_bundle(f, cfg), t=k * sim2.scan_T)
+            est = R_align @ np.asarray(rt.lio.state.pos)
+            errs.append(np.linalg.norm(est - f.gt_pos))
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    return run(False), run(True)
 
 
 def measure_mfu(pipe, frames, ms_per_frame):
@@ -137,10 +248,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--kitti-frames", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="sim-scale joint bench only (round-1 behavior)")
     ap.add_argument("--lio-only", action="store_true")
+    ap.add_argument("--no-ba", action="store_true", help="skip the BA A/B")
     args = ap.parse_args()
 
     if args.platform:
@@ -178,18 +291,22 @@ def main() -> None:
         }))
         return
 
-    # ---- KITTI scale: 131,072-pt scans, kitti-preset resolutions ----------
-    base = PRESETS["kitti"]()
-    cfg_kitti = base.replace(
-        preprocess=base.preprocess.__class__(
-            lidar_type=100, blind=0.05, max_points=131072),
-        imu=base.imu.__class__(imu_en=True),  # sim provides IMU
-    )
-    kitti_out, pipe, frames = run_scale(cfg_kitti, args.frames, args.warmup)
+    # ---- KITTI scale: 131,072-pt outdoor scans, IMU-less, kitti preset ----
+    cfg_kitti = kitti_config()
+    kitti_out, pipe, frames = run_scale(
+        cfg_kitti, args.kitti_frames, args.warmup, outdoor=True,
+        with_ate=True, ate_path=os.path.join(here, ".bench_kitti_tum.txt"))
     detail["odom_mesh_frames_per_s_kitti131k"] = round(kitti_out["frames_per_s"], 2)
     detail["odom_mesh_ms_per_frame_kitti131k"] = round(kitti_out["ms_per_frame"], 1)
-    detail["mesh_triangles_per_s"] = round(kitti_out.get("triangles_per_s", 0.0))
-    detail["live_triangles"] = kitti_out.get("live_triangles", 0)
+    detail["ate_rmse_m_kitti"] = round(kitti_out.get("ate_rmse_m", -1.0), 4)
+    detail["mesh_tris_emitted_per_s"] = round(kitti_out["tris_emitted_per_s"])
+    detail["live_triangles"] = kitti_out["live_triangles"]
+    detail["map_points"] = kitti_out["map_points"]
+    detail["map_mesh_voxels"] = kitti_out["map_mesh_voxels"]
+    detail["map_lio_voxels"] = kitti_out["map_lio_voxels"]
+    detail["n_compactions"] = kitti_out["n_compactions"]
+    for k, v in kitti_out["drops"].items():
+        detail["drops_" + k[len("drop_"):]] = v
 
     flops, mfu = measure_mfu(pipe, frames, kitti_out["ms_per_frame"])
     if mfu is not None:
@@ -197,9 +314,15 @@ def main() -> None:
         detail["mfu_pct_bf16peak"] = round(mfu, 3)
 
     # LIO alone at KITTI scale
-    lio_out, _, _ = run_scale(cfg_kitti, args.frames, args.warmup,
-                              lio_only=True)
+    lio_out, _, _ = run_scale(cfg_kitti, args.kitti_frames, args.warmup,
+                              lio_only=True, outdoor=True)
     detail["lio_frames_per_s_kitti131k"] = round(lio_out["frames_per_s"], 2)
+
+    # ---- window-BA A/B (BASELINE.md north star) ---------------------------
+    if not args.no_ba:
+        ate_off, ate_on = run_ba_ab()
+        detail["ate_ba_off"] = round(ate_off, 4)
+        detail["ate_ba_on"] = round(ate_on, 4)
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=2)

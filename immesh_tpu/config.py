@@ -67,9 +67,12 @@ class ImuConfig:
 class VoxelMapConfig:
     """Probabilistic plane voxel map (reference voxel_loc.hpp + voxel_mapping.cpp).
 
-    The reference's adaptive OctoTree (max_layer<=4) becomes a two-level
-    fixed scheme: coarse voxels plus, when the coarse fit is not planar,
-    8 child octants — matching the max_layer=2 used by most configs.
+    The reference's adaptive OctoTree (max_layer<=4, `cut_octo_tree`
+    voxel_loc.cpp:161-217) becomes a flat multi-level scheme in ONE hash
+    table keyed by (ix,iy,iz,level): level 0 = coarse voxel, level ℓ =
+    half-size-of-ℓ−1 octant children of voxels whose level ℓ−1 fit is not
+    planar.  `max_layers` levels total (2 matches avia/nclt/ntu; the KITTI
+    preset uses 4 like reference velodyne.yaml:48).
     """
 
     voxel_size: float = 0.5                 # coarse voxel edge, m (avia.yaml 0.5)
@@ -81,7 +84,7 @@ class VoxelMapConfig:
     dept_err: float = 0.05                  # LiDAR range noise, m (ref dept_err)
     capacity: int = 2 ** 18                 # hash-table slots (power of two)
     max_probe: int = 32                     # open-addressing probe bound
-    use_children: bool = True               # enable the 8-octant refinement level
+    max_layers: int = 2                     # refinement levels (ref max_layer)
     # lifetime management (reference laser_map_fov_segment sliding cube,
     # voxel_mapping_common.cpp:214-288; cube_side_length default 1000 m)
     local_map_radius: float = 500.0         # keep radius on compaction, m
@@ -123,6 +126,10 @@ class MeshConfig:
     active_voxels_per_frame: int = 512      # static cap on voxels re-meshed per frame
     mesh_chunk: int = 64                    # voxels triangulated per kernel launch
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
+    pull_smooth_lam: float = 1.0            # pull-time Laplacian blend
+    # (ref smooths pulled points DURING retrieval with factor 1.0 over
+    # neighbors within 2×accept_dis, mesh_rec_geometry.cpp:333-369, so the
+    # triangulation geometry itself is denoised; 0 = off)
     max_tri_angle_deg: float = 150.0        # sliver filter (ref is_face_is_ok)
     max_edge_scale: float = 0.0             # optional edge cap ×min spacing (0 = off, like ref)
     display_smooth_lam: float = 0.8         # display-time vertex Laplacian blend
@@ -243,7 +250,9 @@ def preset_kitti() -> ImMeshConfig:
         # acc/gyr cov act as velocity / angular-rate random walks in IMU-less
         # mode (reference velodyne.yaml acc_cov: 1.0, gyr_cov: 0.5)
         imu=ImuConfig(imu_en=False, acc_cov=1.0, gyr_cov=0.5),
-        voxel_map=VoxelMapConfig(voxel_size=3.0, max_points_per_voxel=1000),
+        # velodyne.yaml voxel: 3 m voxels, 4 layers, 1000 pts freeze
+        voxel_map=VoxelMapConfig(voxel_size=3.0, max_points_per_voxel=1000,
+                                 max_layers=4),
         lio=LioConfig(max_iterations=3, downsample_voxel=0.5),
         mesh=MeshConfig(pts_minimum_scale=0.15, voxel_resolution=0.6),
     )

@@ -102,15 +102,15 @@ def _dp_lio_body(state: EsikfState, vm: VoxelMap, bundle: ScanBundle,
     pts_world_down = st.transform_points(down_pts)
     sigma2 = (pcov[:, 0, 0] + pcov[:, 1, 1] + pcov[:, 2, 2]) / 3.0
     max_vox = 4096 // n_dev
-    for level in (0,) + ((1,) if map_cfg.use_children else ()):
-        if level == 1:
+    lmask = down_mask
+    for level in range(map_cfg.max_layers):
+        if level > 0:
             from immesh_tpu.map.hash import voxel_coords
-            c0 = voxel_coords(pts_world_down, map_cfg.voxel_size, 0)
-            parent = vm.table.lookup(c0)
-            lmask = down_mask & jnp.where(
+            cprev = voxel_coords(
+                pts_world_down, map_cfg.voxel_size, level - 1)
+            parent = vm.table.lookup(cprev)
+            lmask = lmask & jnp.where(
                 parent >= 0, vm.subdivided[parent], False)
-        else:
-            lmask = down_mask
         uc, agg, ok = vm.scan_aggregates(
             pts_world_down, sigma2, lmask, level, max_vox)
         # gather every shard's aggregates → identical combined list everywhere

@@ -68,6 +68,10 @@ def _mp_mesh_body(gm: GlobalPointMap, store: TriangleStore,
     mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
 
     gm, slots, smask, _ = gm.append_frame(pts_all, mask_all)  # identical/replica
+    if cfg.mesh.pull_smooth_lam > 0:
+        # replicated smoothing over the FULL active set before voxels are
+        # sharded — every chip must read identical smoothed geometry
+        gm = gm.smooth_active(slots, smask)
 
     # shard the active voxels over the axis
     A = slots.shape[0]
@@ -170,6 +174,11 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
 
     keep = smm.append_keep(pts_all)
     gm, slots, smask, _ = smm.gm.append_frame(pts_all, mask_all & keep)
+    if cfg.mesh.pull_smooth_lam > 0:
+        # smooth ALL active voxels this chip appended (own + halo): halo
+        # copies of a point smooth from the same raw geometry, so owner and
+        # neighbor read matching values up to summation order
+        gm = gm.smooth_active(slots, smask)
     smm = smm.replace(gm=gm)  # ownership must read the POST-append table —
     # freshly inserted slots are EMPTY in the old one (key x = sentinel)
 

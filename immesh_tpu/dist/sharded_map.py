@@ -103,12 +103,14 @@ class ShardedVoxelMap:
         uc, agg, ok = vm.scan_aggregates(
             pts_world, point_sigma2, mask & own, 0, max_voxels)
         vm = vm.apply_aggregates(uc, agg, ok, 0)
-        if vm.cfg.use_children:
-            parent = vm.table.lookup(c0)
-            spilled = jnp.where(parent >= 0, vm.subdivided[parent], False)
+        m = mask & own
+        for lvl in range(1, vm.cfg.max_layers):
+            cprev = voxel_coords(pts_world, vm.cfg.voxel_size, lvl - 1)
+            parent = vm.table.lookup(cprev)
+            m = m & jnp.where(parent >= 0, vm.subdivided[parent], False)
             uc, agg, ok = vm.scan_aggregates(
-                pts_world, point_sigma2, mask & own & spilled, 1, max_voxels)
-            vm = vm.apply_aggregates(uc, agg, ok, 1)
+                pts_world, point_sigma2, m, lvl, max_voxels)
+            vm = vm.apply_aggregates(uc, agg, ok, lvl)
         return self.replace(vm=vm)
 
     # ------------------------------------------------------------------

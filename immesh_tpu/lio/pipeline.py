@@ -114,6 +114,7 @@ class LioPipeline:
         )
         self.vm = VoxelMap.create(cfg.voxel_map)
         self.frame_idx = 0
+        self.n_compactions = 0
 
     def static_init(self, acc, gyr):
         """IMU static initialization (reference IMU_init)."""
@@ -163,6 +164,7 @@ class LioPipeline:
         high = mc.compact_high_water * mc.capacity
         if int(self.vm.n_voxels()) <= high:
             return False
+        self.n_compactions += 1
         radius = mc.local_map_radius
         for _ in range(8):
             self.vm = _compact_jit(

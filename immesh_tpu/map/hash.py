@@ -57,6 +57,9 @@ class HashTable:
     @classmethod
     def create(cls, capacity: int, max_probe: int = 32) -> "HashTable":
         assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+        # insert() uses jnp.int32(capacity) as its drop sentinel, so the safe
+        # capacity envelope is < 2^31 (far above any realistic table)
+        assert capacity < 2 ** 31, "capacity must fit int32"
         keys = jnp.full((capacity, 4), EMPTY, dtype=jnp.int32)
         return cls(keys=keys, capacity=capacity, max_probe=max_probe)
 

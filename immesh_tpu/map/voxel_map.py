@@ -6,9 +6,10 @@ src/voxel_mapping.cpp:110-151,320-354) as fixed-capacity structure-of-arrays
 updated functionally inside one jitted program per frame:
 
   * hash-of-octrees → one open-addressing table keyed by (ix,iy,iz,level);
-    level 0 = coarse voxel, level 1 = half-size octant children of voxels
-    whose coarse fit is not planar (flattens OctoTree `cut_octo_tree`,
-    voxel_loc.cpp:161-217, at the max_layer=2 most configs use);
+    level 0 = coarse voxel, level ℓ = half-size octant children of level-ℓ−1
+    voxels whose fit is not planar (flattens OctoTree `cut_octo_tree`,
+    voxel_loc.cpp:161-217); cfg.max_layers levels (2 for avia/nclt/ntu,
+    4 for KITTI like reference velodyne.yaml:48);
   * per-voxel point lists → running moments {Σp, Σppᵀ, N, Σσ²} so plane
     refits are closed-form over all touched voxels at once (one batched
     eigh3x3) instead of per-voxel Eigen solves every 5 points
@@ -103,14 +104,16 @@ class VoxelMap:
           max_voxels: static cap on unique voxels touched per scan per level.
         """
         vm = self._update_level(pts_world, point_sigma2, mask, 0, max_voxels)
-        if self.cfg.use_children:
-            # points whose parent voxel has spilled also feed its octants
-            c0 = voxel_coords(pts_world, self.cfg.voxel_size, 0)
-            parent = vm.table.lookup(c0)
-            spilled = jnp.where(parent >= 0, vm.subdivided[parent], False)
-            vm = vm._update_level(
-                pts_world, point_sigma2, mask & spilled, 1, max_voxels
-            )
+        m = mask
+        for lvl in range(1, self.cfg.max_layers):
+            # points whose parent voxel spilled also feed its octants; the
+            # mask accumulates so level ℓ only sees points whose FULL parent
+            # chain is subdivided (reference cut_octo_tree recursion,
+            # voxel_loc.cpp:161-217)
+            cprev = voxel_coords(pts_world, self.cfg.voxel_size, lvl - 1)
+            parent = vm.table.lookup(cprev)
+            m = m & jnp.where(parent >= 0, vm.subdivided[parent], False)
+            vm = vm._update_level(pts_world, point_sigma2, m, lvl, max_voxels)
         return vm
 
     def scan_aggregates(self, pts, sigma2, mask, level: int, max_voxels: int):
@@ -193,7 +196,8 @@ class VoxelMap:
             lam=self.lam.at[tgt].set(fit["lam"], mode="drop"),
             plane_valid=self.plane_valid.at[tgt].set(planar, mode="drop"),
         )
-        if level == 0:
+        if level < self.cfg.max_layers - 1:
+            # non-finest levels spill to children when the fit is not planar
             spill = fit["valid"] & ~planar
             vm = vm.replace(
                 subdivided=vm.subdivided.at[tgt].set(spill, mode="drop")
@@ -204,28 +208,26 @@ class VoxelMap:
     # queries
     # ==================================================================
     def query_planes(self, pts_world: jnp.ndarray):
-        """Two-level plane lookup for (N, 3) points.
+        """Multi-level plane lookup for (N, 3) points.
 
         Mirrors the reference's octree descent in `build_single_residual`
-        (voxel_mapping.cpp:247-318): use the coarse plane if planar, else the
-        octant child's plane.  Returns dict with per-point plane params and a
-        `found` mask.
+        (voxel_mapping.cpp:247-318): use the COARSEST planar level, descending
+        through subdivided (non-planar) parents down to max_layers.  Returns
+        dict with per-point plane params and a `found` mask.
         """
-        c0 = voxel_coords(pts_world, self.cfg.voxel_size, 0)
-        s0 = self.table.lookup(c0)
-        s0c = jnp.maximum(s0, 0)
-        use0 = (s0 >= 0) & self.plane_valid[s0c]
-
-        slot = jnp.where(use0, s0c, 0)
-        found = use0
-        if self.cfg.use_children:
-            sub = (s0 >= 0) & self.subdivided[s0c]
-            c1 = voxel_coords(pts_world, self.cfg.voxel_size, 1)
-            s1 = self.table.lookup(c1)
-            s1c = jnp.maximum(s1, 0)
-            use1 = sub & (s1 >= 0) & self.plane_valid[s1c] & ~use0
-            slot = jnp.where(use1, s1c, slot)
-            found = found | use1
+        n = pts_world.shape[0]
+        slot = jnp.zeros(n, jnp.int32)
+        found = jnp.zeros(n, bool)
+        descend = jnp.ones(n, bool)
+        for lvl in range(self.cfg.max_layers):
+            c = voxel_coords(pts_world, self.cfg.voxel_size, lvl)
+            s = self.table.lookup(c)
+            sc = jnp.maximum(s, 0)
+            present = descend & (s >= 0)
+            use = present & self.plane_valid[sc] & ~found
+            slot = jnp.where(use, sc, slot)
+            found = found | use
+            descend = present & self.subdivided[sc]
 
         return {
             "found": found,

@@ -49,7 +49,14 @@ def _grid_coords(pts: jnp.ndarray, size: float, tag: int) -> jnp.ndarray:
 @struct.dataclass
 class GlobalPointMap:
     # point store
-    pts: jnp.ndarray        # (P, 3) f32 world positions
+    pts: jnp.ndarray        # (P, 3) f32 world positions (raw, append-time)
+    pts_smooth: jnp.ndarray  # (P, 3) f32 Laplacian-smoothed positions — the
+    # triangulation geometry (reference RGB_pts keeps a persistent smoothed
+    # pos, set during neighbor retrieval, pointcloud_rgbd.hpp:77-163 +
+    # mesh_rec_geometry.cpp:333-369).  Stored globally, not per pulled set,
+    # so every voxel/chip that pulls a point reads the IDENTICAL smoothed
+    # coordinates — local smoothing would give adjacent voxels different
+    # geometry and inconsistent border diagonals (holes).
     pt_count: jnp.ndarray   # () int32 bump pointer
     # dedup grid (presence-only) at pts_minimum_scale
     dedup: HashTable
@@ -67,6 +74,7 @@ class GlobalPointMap:
         P, V, S = cfg.points_capacity, cfg.voxel_capacity, cfg.pts_per_voxel
         return cls(
             pts=jnp.zeros((P, 3), dtype),
+            pts_smooth=jnp.zeros((P, 3), dtype),
             pt_count=jnp.asarray(0, jnp.int32),
             dedup=HashTable.create(_next_pow2(4 * P), max_probe=32),
             vox=HashTable.create(V, max_probe=32),
@@ -126,6 +134,9 @@ class GlobalPointMap:
         fresh = fresh & cap_ok
         tgt = jnp.where(fresh, new_ids, cfg.points_capacity)
         pts_store = self.pts.at[tgt].set(pts_world[ci], mode="drop")
+        # fresh points start unsmoothed; their voxel is active this frame so
+        # the meshing step immediately computes their smoothed position
+        pts_sm_store = self.pts_smooth.at[tgt].set(pts_world[ci], mode="drop")
         pt_count = jnp.minimum(self.pt_count + n_new,
                                jnp.asarray(cfg.points_capacity, jnp.int32))
 
@@ -166,7 +177,8 @@ class GlobalPointMap:
         vox_new = self.vox_new.at[vtgt].add(addc, mode="drop")
 
         gm = self.replace(
-            pts=pts_store, pt_count=pt_count, dedup=dedup, vox=vox,
+            pts=pts_store, pts_smooth=pts_sm_store, pt_count=pt_count,
+            dedup=dedup, vox=vox,
             vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
         )
 
@@ -259,12 +271,73 @@ class GlobalPointMap:
         g_pts = jnp.take_along_axis(
             cand_pts.reshape(A, -1, 3), order[..., None], axis=1
         )
+        if cfg.pull_smooth_lam > 0:
+            # stored smoothed positions (smooth_active) — the triangulation
+            # geometry; a small direct (A, K) gather from the point store
+            g_sm = self.pts_smooth[jnp.maximum(g_idx, 0)]
+        else:
+            g_sm = g_pts
         return {
             "idx": jnp.where(g_ok, g_idx, -1),
             "pts": g_pts,
+            "pts_sm": g_sm,
             "mask": g_ok,
             "center": center,
         }
+
+    def smooth_active(self, slots: jnp.ndarray, smask: jnp.ndarray
+                      ) -> "GlobalPointMap":
+        """Recompute Laplacian-smoothed positions for the active voxels' OWN
+        points (reference smooths pulled points during retrieval and stores
+        the result on the point record, mesh_rec_geometry.cpp:333-369 +
+        RGB_pts::set_smooth_pos) — the stored smoothed position is what the
+        triangulation reads, so every voxel/chip pulling a point sees
+        identical geometry.
+
+        The mean is GAUSSIAN-WEIGHTED (σ = 2×min spacing ≈ the reference's
+        20-NN footprint at its dedup density) rather than kNN-selected: a
+        selection threshold is discontinuous — equal-distance ties (gridded
+        dedup!) would resolve by chip-local point order and desynchronize
+        shards — while a continuous kernel is order-invariant to the ulp.
+        Each point is owned by exactly one voxel, so the scatter is
+        conflict-free, and re-running is idempotent given the same map."""
+        cfg = self.cfg
+        lam = cfg.pull_smooth_lam
+        A, S = slots.shape[0], cfg.pts_per_voxel
+        s = jnp.maximum(slots, 0)
+        keys = self.vox.keys[s]
+
+        offs = _neighbor_offsets()
+        nb = keys[:, None, :3] + offs[None]
+        nb_keys = jnp.concatenate(
+            [nb, jnp.zeros((A, 27, 1), jnp.int32)], axis=-1
+        ).reshape(A * 27, 4)
+        nb_slots = self.vox.lookup(nb_keys).reshape(A, 27)
+        cand_idx = self.vox_pt_idx[jnp.maximum(nb_slots, 0)]   # (A, 27, S)
+        cand_ok = (nb_slots >= 0)[:, :, None] & (cand_idx >= 0)
+        cand_pts = self.pts[
+            jnp.maximum(cand_idx, 0).reshape(A, -1)]           # (A, 27S, 3)
+        cand_ok = cand_ok.reshape(A, 27 * S)
+
+        own_idx = self.vox_pt_idx[s]                           # (A, S)
+        own_ok = (own_idx >= 0) & smask[:, None]
+        p_own = self.pts[jnp.maximum(own_idx, 0)]              # (A, S, 3)
+
+        # d² via the Gram expansion — one small batched matmul per voxel
+        d2 = (jnp.sum(p_own * p_own, -1)[:, :, None]
+              + jnp.sum(cand_pts * cand_pts, -1)[:, None, :]
+              - 2.0 * jnp.einsum("asc,akc->ask", p_own, cand_pts))
+        sig = 2.0 * cfg.pts_minimum_scale
+        w = jnp.where(cand_ok[:, None, :] & (d2 < (3.0 * sig) ** 2),
+                      jnp.exp(-d2 / (2.0 * sig * sig)), 0.0)   # (A, S, 27S)
+        wsum = jnp.sum(w, axis=-1, keepdims=True)              # ≥ self weight
+        mean = jnp.einsum("ask,akc->asc", w, cand_pts) / jnp.maximum(wsum, 1e-12)
+        sm = (1.0 - lam) * p_own + lam * mean
+
+        P = cfg.points_capacity
+        tgt = jnp.where(own_ok, own_idx, P)
+        return self.replace(
+            pts_smooth=self.pts_smooth.at[tgt].set(sm, mode="drop"))
 
     def mark_meshed(self, slots: jnp.ndarray, smask: jnp.ndarray
                     ) -> "GlobalPointMap":
@@ -323,6 +396,8 @@ class GlobalPointMap:
         idmap = jnp.where(pkeep, new_id, -1)
         ptgt = jnp.where(pkeep, new_id, P)
         pts = jnp.zeros_like(self.pts).at[ptgt].set(self.pts, mode="drop")
+        pts_smooth = jnp.zeros_like(self.pts_smooth).at[ptgt].set(
+            self.pts_smooth, mode="drop")
         pt_count = jnp.sum(pkeep.astype(jnp.int32))
 
         # ---- dedup grid rebuild (cells of surviving points) --------------
@@ -346,7 +421,8 @@ class GlobalPointMap:
         vox_meshed = move_rows(self.vox_meshed, False)
 
         gm = self.replace(
-            pts=pts, pt_count=pt_count, dedup=dedup, vox=vox,
+            pts=pts, pts_smooth=pts_smooth, pt_count=pt_count, dedup=dedup,
+            vox=vox,
             vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
             vox_meshed=vox_meshed,
         )

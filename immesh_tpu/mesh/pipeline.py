@@ -35,6 +35,12 @@ def mesh_step(gm: GlobalPointMap, store: TriangleStore,
     same recently-visited-voxel set the reference shares between meshing and
     colorization (pointcloud_rgbd.cpp `m_voxels_recent_visited`)."""
     gm, slots, smask, drops = gm.append_frame(pts_world, mask)
+    if gm.cfg.pull_smooth_lam > 0:
+        # refresh the stored smoothed positions of the active voxels' own
+        # points BEFORE triangulation, so every pulling voxel reads the same
+        # values (reference smooths during retrieval and stores the result,
+        # mesh_rec_geometry.cpp:333-369)
+        gm = gm.smooth_active(slots, smask)
     store, n_emitted, tri_drop = mesh_voxels(
         gm, store, slots, smask, sensor_pos, chunk)
     gm = gm.mark_meshed(slots, smask)
@@ -57,6 +63,7 @@ class MeshPipeline:
         self.last_active = None
         # bounded-loss drop counters of the most recent step (device scalars)
         self.last_drops = None
+        self.n_compactions = 0
 
     def step(self, pts_world, mask, sensor_pos):
         """Returns the active-voxel count as a DEVICE scalar — callers that
@@ -95,6 +102,7 @@ class MeshPipeline:
         if (int(self.gm.n_points()) <= high_p
                 and int(self.gm.vox.occupancy()) <= high_v):
             return False
+        self.n_compactions += 1
         radius = mc.local_map_radius
         for _ in range(8):
             self.gm, self.store = _compact_mesh_jit(

@@ -155,6 +155,8 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
 
     pull = gm.pull_neighborhood(slots, smask)
     pts, pmask, gidx = pull["pts"], pull["mask"], pull["idx"]
+    pts_sm = pull["pts_sm"]     # smoothed geometry feeds the PCA/Delaunay;
+    # raw positions keep feeding hashes/centroids/winding (chip-invariant)
     vox_key = gm.vox.keys[jnp.maximum(slots, 0), :3]          # (A, 3) int32
 
     # a full Delaunay of K pulled points has ≤ 2K−5 triangles, of which only
@@ -170,17 +172,17 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         cost zero instead of full O(K⁴) (the reference's TBB loop likewise
         only visits voxels with new points,
         ImMesh_mesh_reconstruction.cpp:129-132)."""
-        pts_c, pmask_c, gidx_c, key_c = args
+        pts_c, sm_c, pmask_c, gidx_c, key_c = args
         a = pts_c.shape[0]
         return jax.lax.cond(
             jnp.any(pmask_c),
-            lambda: _chunk_impl(pts_c, pmask_c, gidx_c, key_c),
+            lambda: _chunk_impl(pts_c, sm_c, pmask_c, gidx_c, key_c),
             lambda: (jnp.full((a, C, 3), -1, jnp.int32),
                      jnp.zeros(a, jnp.int32), jnp.zeros((), jnp.int32)),
         )
 
-    def _chunk_impl(pts_c, pmask_c, gidx_c, key_c):
-        uv, _, _ = pca_project(pts_c, pmask_c)
+    def _chunk_impl(pts_c, sm_c, pmask_c, gidx_c, key_c):
+        uv, _, _ = pca_project(sm_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
         trip, keep = delaunay_pairs(uv, pmask_c, tiebreak=phash,
                                     tie_scale=cfg.tie_scale)  # (a,K²,3), (a,K²)
@@ -277,7 +279,8 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
 
     ids, counts, dropped = jax.lax.map(
         one_chunk,
-        (reshape_c(pts), reshape_c(pmask), reshape_c(gidx), reshape_c(vox_key)),
+        (reshape_c(pts), reshape_c(pts_sm), reshape_c(pmask),
+         reshape_c(gidx), reshape_c(vox_key)),
     )
     return (ids.reshape(n_chunks * chunk, C, 3)[:A],
             counts.reshape(-1)[:A], jnp.sum(dropped))

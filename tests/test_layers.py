@@ -1,0 +1,109 @@
+"""Multi-level (max_layers) voxel refinement — reference OctoTree parity.
+
+The reference subdivides non-planar voxels down to max_layer (velodyne.yaml
+runs 4 layers on 3 m voxels; `cut_octo_tree` voxel_loc.cpp:161-217).  These
+tests build geometry that is non-planar at coarse scale and verify (a) the
+finer layers actually resolve planes the 2-layer scheme cannot, and (b) the
+refinement improves localization accuracy on a coarse-voxel config.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from immesh_tpu.config import PRESETS, VoxelMapConfig
+from immesh_tpu.map.voxel_map import VoxelMap
+
+
+def _corner_cloud(rng, n=4000):
+    """Floor (z≈0) + wall (x≈0) meeting inside one 3 m voxel."""
+    floor = np.zeros((n, 3), np.float32)
+    floor[:, 0] = rng.uniform(0.01, 2.99, n)
+    floor[:, 1] = rng.uniform(0.01, 2.99, n)
+    floor[:, 2] = 0.02 + rng.normal(scale=0.004, size=n)
+    wall = np.zeros((n, 3), np.float32)
+    wall[:, 0] = 0.02 + rng.normal(scale=0.004, size=n)
+    wall[:, 1] = rng.uniform(0.01, 2.99, n)
+    wall[:, 2] = rng.uniform(0.01, 2.99, n)
+    return np.concatenate([floor, wall]).astype(np.float32)
+
+
+class TestLayerRefinement:
+    def _build(self, max_layers, pts):
+        cfg = VoxelMapConfig(voxel_size=3.0, max_layers=max_layers,
+                             capacity=2 ** 14, min_plane_points=5,
+                             planer_threshold=0.01)
+        vm = VoxelMap.create(cfg)
+        m = jnp.ones(pts.shape[0], bool)
+        s2 = jnp.full(pts.shape[0], 1e-5)
+        # two passes so level-ℓ masks see level-ℓ−1 spill flags from pass 1
+        # (the reference refits incrementally every 5 points too)
+        for _ in range(2):
+            vm = vm.update(jnp.asarray(pts), s2, m)
+        return vm
+
+    def test_finer_layers_resolve_corner_planes(self):
+        """Floor points 0.5 m from the wall: invisible to the 2-layer scheme
+        (the 1.5 m octant still straddles the corner), found by 4 layers
+        (the 0.375 m level-2/3 octants contain only floor)."""
+        rng = np.random.default_rng(0)
+        pts = _corner_cloud(rng)
+        q = np.array([[0.5, 1.0, 0.02], [0.5, 2.0, 0.02],
+                      [0.6, 1.5, 0.02]], np.float32)
+
+        vm2 = self._build(2, pts)
+        vm4 = self._build(4, pts)
+        r2 = vm2.query_planes(jnp.asarray(q))
+        r4 = vm4.query_planes(jnp.asarray(q))
+
+        assert not bool(np.any(np.asarray(r2["found"]))), (
+            "2-layer scheme unexpectedly resolved the corner region")
+        assert bool(np.all(np.asarray(r4["found"]))), np.asarray(r4["found"])
+        # the found planes are the floor: |n_z| ≈ 1 and the points lie on them
+        nrm = np.asarray(r4["normal"])
+        assert np.all(np.abs(np.abs(nrm[:, 2]) - 1.0) < 0.05), nrm
+        dist = np.abs(np.einsum("ij,ij->i", nrm, q) + np.asarray(r4["d"]))
+        assert np.all(dist < 0.02), dist
+
+    def test_levels_live_in_one_table(self):
+        """Level-ℓ entries key the same flat hash table with level as the 4th
+        key component (no per-level tables to manage)."""
+        rng = np.random.default_rng(1)
+        vm4 = self._build(4, _corner_cloud(rng))
+        keys = np.asarray(vm4.table.keys)
+        live = keys[:, 0] != np.int32(0x7FFFFFFF)
+        levels = np.unique(keys[live, 3])
+        assert set(levels.tolist()) >= {0, 1, 2}, levels
+
+    def test_four_layers_improve_ate_on_coarse_voxels(self):
+        """Localization with deliberately coarse (3 m) odometry voxels on the
+        sim room: 4 layers must beat 2 layers on ATE (the reference runs
+        exactly this trade on KITTI, velodyne.yaml:48)."""
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+        from immesh_tpu.frontend.types import ScanBundle
+        from immesh_tpu.lio.pipeline import LioPipeline
+
+        def run(max_layers):
+            sim = LidarImuSimulator(n_rays=2048, seed=5)
+            cfg = PRESETS["sim"]().replace(
+                voxel_map=VoxelMapConfig(voxel_size=3.0,
+                                         max_layers=max_layers,
+                                         capacity=2 ** 15))
+            pipe = LioPipeline(cfg)
+            pipe.static_init(*sim.static_imu(100))
+            errs = []
+            for k in range(25):
+                f = sim.frame(k)
+                b = ScanBundle.from_numpy(
+                    f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+                    f.scan_duration, cfg.preprocess.max_points,
+                    cfg.imu.max_imu_per_scan)
+                pipe.step(b)
+                errs.append(np.linalg.norm(
+                    np.asarray(pipe.state.pos) - f.gt_pos))
+            return float(np.sqrt(np.mean(np.square(errs))))
+
+        ate2 = run(2)
+        ate4 = run(4)
+        print(f"coarse-voxel ATE: 2 layers {ate2:.4f} m, 4 layers {ate4:.4f} m")
+        assert ate4 < ate2, (ate2, ate4)

@@ -121,7 +121,7 @@ class TestVoxelMap:
         assert dist.max() < 0.05
 
     def test_moments_match_numpy(self, rng):
-        cfg = self._cfg(use_children=False)
+        cfg = self._cfg(max_layers=1)
         vm = VoxelMap.create(cfg)
         pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
         vm = vm.update(jnp.asarray(pts), jnp.full(2000, 1e-4),
@@ -157,7 +157,7 @@ class TestVoxelMap:
         assert n1 == 500 and n2 == 1000
 
     def test_freeze_at_max_points(self, rng):
-        vm = VoxelMap.create(self._cfg(max_points_per_voxel=50, use_children=False))
+        vm = VoxelMap.create(self._cfg(max_points_per_voxel=50, max_layers=1))
         # all points in one voxel
         pts = (rng.uniform(0.1, 0.9, size=(200, 3))).astype(np.float32)
         vm = vm.update(jnp.asarray(pts[:40]), jnp.full(40, 1e-4), jnp.ones(40, bool), 64)

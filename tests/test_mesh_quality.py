@@ -134,3 +134,61 @@ class TestDisplaySmoothing:
                                     cfg.mesh.voxel_resolution,
                                     smooth_lam=0.8))
         assert sm_rms < 0.6 * raw_rms, (sm_rms, raw_rms)
+
+
+class TestPullTimeSmoothing:
+    def test_pull_smoothing_denoises_live_mesh(self):
+        """Pull-time Laplacian smoothing (reference retrieves SMOOTHED
+        positions for triangulation and stores them on the point record,
+        mesh_rec_geometry.cpp:333-369 + RGB_pts::set_smooth_pos): the
+        triangulation geometry (gm.pts_smooth = the reference's get_pos(1))
+        must sit far below the sample noise, and the mesh it induces must
+        have far better-aligned normals than the raw-geometry mesh — the
+        'live mesh noisier than the reference' gap of VERDICT r2 item 7."""
+        rng = np.random.default_rng(7)
+        noise = 0.035
+        g = np.arange(-1.5, 1.5, 0.11, dtype=np.float32)
+        X, Y = np.meshgrid(g, g)
+        pts = np.stack(
+            [X.ravel(), Y.ravel(),
+             noise * rng.standard_normal(X.size).astype(np.float32)], -1)
+        mask = np.ones(len(pts), bool)
+
+        def build(lam):
+            cfg = PRESETS["sim"]()
+            cfg = cfg.replace(mesh=cfg.mesh.__class__(
+                points_capacity=2 ** 14, voxel_capacity=2 ** 10,
+                pull_smooth_lam=lam))
+            mp = MeshPipeline(cfg)
+            mp.step(pts, mask, np.array([0, 0, 3.0]))
+            tri = np.asarray(mp.store.tri_ids).reshape(-1, 3)
+            tri = tri[np.all(tri >= 0, axis=-1)]
+            return mp, tri
+
+        def normal_dev(v, tri):
+            n = np.cross(v[tri[:, 1]] - v[tri[:, 0]],
+                         v[tri[:, 2]] - v[tri[:, 0]])
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+            return float(np.mean(np.degrees(
+                np.arccos(np.clip(np.abs(n[:, 2]), 0, 1)))))
+
+        mp_raw, tri_raw = build(0.0)
+        mp_sm, tri_sm = build(1.0)
+        assert len(tri_sm) > 0.7 * len(tri_raw)   # no mesh collapse
+
+        # geometry denoising: smoothed positions ≪ sample noise; raw at noise
+        n_used = int(mp_sm.gm.n_points())
+        z_raw = np.asarray(mp_raw.gm.pts)[:n_used, 2]
+        z_sm = np.asarray(mp_sm.gm.pts_smooth)[:n_used, 2]
+        rms_raw = float(np.sqrt(np.mean(z_raw ** 2)))
+        rms_sm = float(np.sqrt(np.mean(z_sm ** 2)))
+        print(f"geometry z-RMS raw {rms_raw:.4f} smoothed {rms_sm:.4f}")
+        assert rms_raw > 0.8 * noise
+        assert rms_sm < 0.4 * rms_raw, (rms_raw, rms_sm)
+
+        # the LIVE mesh (triangles over their triangulation geometry) is far
+        # cleaner: mean normal deviation from the true surface normal
+        dev_raw = normal_dev(np.asarray(mp_raw.gm.pts), tri_raw)
+        dev_sm = normal_dev(np.asarray(mp_sm.gm.pts_smooth), tri_sm)
+        print(f"normal dev raw {dev_raw:.2f}° smoothed {dev_sm:.2f}°")
+        assert dev_sm < 0.5 * dev_raw, (dev_raw, dev_sm)

@@ -1,0 +1,197 @@
+"""Two-process jax.distributed proof on CPU (VERDICT r2 item 4).
+
+The reference is a single shared-memory process (its only IPC is ROS pub/sub,
+SURVEY.md P7); the TPU-native growth path is `jax.distributed` — and that
+path must be shown EXECUTING with >1 process, not just written.  This runner
+launches TWO localhost processes, each contributing 4 virtual CPU devices to
+one 8-device global mesh, runs the production dp-LIO + capacity-sharded
+meshing steps for several frames, and asserts bit-exact parity of the global
+triangle set (count + order-independent position-hash checksum) and the
+replicated filter state against a single-process 8-device run of the same
+workload.
+
+Usage:   python tools/multiproc_run.py            # parent: runs all 3 procs
+Writes:  MULTIPROC_r03.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_GLOBAL = 8
+FRAMES = 4
+
+
+# ======================================================================
+# worker
+# ======================================================================
+
+def worker(local_devices: int, out_path: str) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+
+    from immesh_tpu.dist import multihost
+    multi = multihost.initialize()          # no-op unless coordinator env set
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from immesh_tpu.dist.lio import make_dp_lio_step
+    from immesh_tpu.dist.mesh import create_sharded_mesh, make_sharded_mesh_step
+    from immesh_tpu.mesh.triangles import _pos_hash
+    from __graft_entry__ import _example_inputs, _small_cfg
+
+    assert len(jax.devices()) == N_GLOBAL, jax.devices()
+    mesh = multihost.build_mesh("dp")
+
+    cfg = _small_cfg()
+    act = max(64, N_GLOBAL * 8)
+    cfg = cfg.replace(mesh=cfg.mesh.__class__(
+        points_capacity=2 ** 14, voxel_capacity=2 ** 10,
+        active_voxels_per_frame=act, pull_capacity=48, mesh_chunk=8,
+    ))
+
+    lio_step, shard_bundle = make_dp_lio_step(mesh, cfg)
+    mesh_step = make_sharded_mesh_step(mesh, cfg)
+    smm = create_sharded_mesh(mesh, cfg, slab_voxels=2)
+
+    def checksum_fn(smm_stacked):
+        smm_l = jax.tree_util.tree_map(lambda x: x[0], smm_stacked)
+        ids = smm_l.store.tri_ids                       # (V, C, 3) local ids
+        valid = jnp.all(ids >= 0, axis=-1)
+        h = _pos_hash(smm_l.gm.pts[jnp.maximum(ids, 0)])  # (V, C, 3) int32
+        tri_h = jnp.sum(jnp.where(valid[..., None], h, 0), axis=-1)
+        # int32 wraparound sums are order-independent → shard-layout-invariant
+        chk = jax.lax.psum(jnp.sum(jnp.where(valid, tri_h, 0)), "dp")
+        cnt = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), "dp")
+        return chk, cnt
+
+    checksum = jax.jit(shard_map(
+        checksum_fn, mesh=mesh,
+        in_specs=(P("dp"),), out_specs=(P(), P()), check_vma=False))
+
+    state, vm, _ = _example_inputs(cfg, cfg.preprocess.max_points)
+    for k in range(FRAMES):
+        _, _, bundle = _example_inputs(cfg, cfg.preprocess.max_points)
+        # deterministic per-frame variation: shift the cloud along +x
+        import numpy as np
+        pts = np.asarray(bundle.pts) + np.array(
+            [0.2 * k, 0.0, 0.0], np.float32)
+        bundle = bundle.replace(pts=jnp.asarray(pts))
+        b = shard_bundle(bundle)
+        state, vm, world, diag = lio_step(state, vm, b)
+        smm, n_active, n_tris = mesh_step(smm, world, b.mask, state.pos)
+
+    chk, cnt = checksum(smm)
+    out = {
+        "n_processes": jax.process_count(),
+        "process_id": jax.process_index(),
+        "n_devices_global": len(jax.devices()),
+        "multi_initialized": bool(multi),
+        "frames": FRAMES,
+        "n_triangles": int(cnt),
+        "tri_checksum": int(chk),
+        "final_pos": [float(v) for v in state.pos],
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    print(f"[worker pid={os.getpid()} proc={jax.process_index()}] {out}")
+
+
+# ======================================================================
+# parent
+# ======================================================================
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def parent() -> None:
+    tmp = tempfile.mkdtemp(prefix="immesh_mp_")
+    env_base = {k: v for k, v in os.environ.items()
+                if not k.startswith(("IMMESH_", "JAX_", "XLA_"))}
+    env_base["JAX_PLATFORMS"] = "cpu"
+
+    def launch(out, local_devices, extra_env):
+        env = dict(env_base, **extra_env)
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--local-devices", str(local_devices), "--out", out],
+            env=env, cwd=REPO)
+
+    # 1. single-process 8-device reference
+    ref_out = os.path.join(tmp, "ref.json")
+    p = launch(ref_out, N_GLOBAL, {})
+    assert p.wait(timeout=900) == 0, "single-process reference failed"
+
+    # 2. two processes × 4 local devices, one global 8-device mesh
+    port = _free_port()
+    outs = [os.path.join(tmp, f"proc{i}.json") for i in range(2)]
+    procs = [
+        launch(outs[i], N_GLOBAL // 2, {
+            "IMMESH_COORDINATOR": f"127.0.0.1:{port}",
+            "IMMESH_NUM_PROCESSES": "2",
+            "IMMESH_PROCESS_ID": str(i),
+        })
+        for i in range(2)
+    ]
+    for p in procs:
+        assert p.wait(timeout=900) == 0, "multi-process worker failed"
+
+    ref = json.load(open(ref_out))
+    r0, r1 = (json.load(open(o)) for o in outs)
+    assert r0["multi_initialized"] and r1["multi_initialized"]
+    assert r0["n_processes"] == 2 and r1["n_processes"] == 2
+    for key in ("n_triangles", "tri_checksum", "final_pos"):
+        assert r0[key] == ref[key], (key, r0[key], ref[key])
+        assert r1[key] == ref[key], (key, r1[key], ref[key])
+
+    result = {
+        "status": "PASS",
+        "what": "2-process jax.distributed CPU run: dp-LIO + capacity-"
+                "sharded meshing, bit-exact vs single-process 8-device run",
+        "frames": FRAMES,
+        "n_triangles": ref["n_triangles"],
+        "tri_checksum": ref["tri_checksum"],
+        "final_pos": ref["final_pos"],
+        "single_process": {k: ref[k] for k in
+                           ("n_processes", "n_devices_global")},
+        "two_process": [{k: r[k] for k in
+                         ("n_processes", "process_id", "n_devices_global",
+                          "multi_initialized")} for r in (r0, r1)],
+    }
+    out_path = os.path.join(REPO, "MULTIPROC_r03.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--local-devices", type=int, default=8)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.local_devices, args.out)
+    else:
+        parent()
+
+
+if __name__ == "__main__":
+    main()

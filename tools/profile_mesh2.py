@@ -79,5 +79,3 @@ for k in range(N_WARM, N_WARM + N):
 
 for name, v in t.items():
     print(f"{name:8s} {1e3 * v / N:8.1f} ms/frame")
-n_act = int(jnp.sum(jnp.asarray([0])))  # noop
-print("active voxels last frame:", int(jnp.sum(run.__globals__['gm'].vox_new > -1)) if False else "-")
