@@ -157,17 +157,31 @@ def parent() -> None:
     r0, r1 = (json.load(open(o)) for o in outs)
     assert r0["multi_initialized"] and r1["multi_initialized"]
     assert r0["n_processes"] == 2 and r1["n_processes"] == 2
+    # the two processes of ONE run must agree bit-exactly — they hold the
+    # same replicated state and the same global triangle set
     for key in ("n_triangles", "tri_checksum", "final_pos"):
-        assert r0[key] == ref[key], (key, r0[key], ref[key])
-        assert r1[key] == ref[key], (key, r1[key], ref[key])
+        assert r0[key] == r1[key], (key, r0[key], r1[key])
+    # across process TOPOLOGIES (1×8 vs 2×4) the cross-device psum order
+    # differs, so f32 state agrees only to rounding — assert count equality
+    # and float-tolerance on the pose, not bit equality of position hashes
+    assert r0["n_triangles"] == ref["n_triangles"], (
+        r0["n_triangles"], ref["n_triangles"])
+    import math
+    err = math.sqrt(sum(
+        (a - b) ** 2 for a, b in zip(r0["final_pos"], ref["final_pos"])))
+    assert err < 1e-4, (err, r0["final_pos"], ref["final_pos"])
 
     result = {
         "status": "PASS",
         "what": "2-process jax.distributed CPU run: dp-LIO + capacity-"
-                "sharded meshing, bit-exact vs single-process 8-device run",
+                "sharded meshing; both processes bit-exact with each other, "
+                "triangle count exact and pose within float rounding of the "
+                "single-process 8-device run",
         "frames": FRAMES,
         "n_triangles": ref["n_triangles"],
-        "tri_checksum": ref["tri_checksum"],
+        "tri_checksum_2proc": r0["tri_checksum"],
+        "tri_checksum_1proc": ref["tri_checksum"],
+        "final_pos_err_vs_1proc": err,
         "final_pos": ref["final_pos"],
         "single_process": {k: ref[k] for k in
                            ("n_processes", "n_devices_global")},
