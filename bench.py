@@ -80,15 +80,14 @@ def run_scale(cfg, n_frames, warmup, lio_only=False,
     if cfg.imu.imu_en:
         lio.static_init(*sim.static_imu(100))
 
-    def bundle(k):
-        f = sim.frame(k)
+    def bundle(f):
         return ScanBundle.from_numpy(
             f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
             f.scan_duration, cfg.preprocess.max_points,
             cfg.imu.max_imu_per_scan)
 
-    frames = [bundle(k) for k in range(warmup + n_frames)]
-    gt = [sim.frame(k) for k in range(warmup + n_frames)] if with_ate else None
+    gt = [sim.frame(k) for k in range(warmup + n_frames)]
+    frames = [bundle(f) for f in gt]
 
     def sync():
         jax.block_until_ready(lio.state.pos)
@@ -194,7 +193,7 @@ def run_ba_ab(n_frames=40):
     for k in range(30):
         pipe.step(_bundle(sim.frame(k), cfg_map))
     vm_clean = pipe.vm
-    R0_true, _ = sim.traj.pose(0.0)
+    R0_true, p0_true = sim.traj.pose(0.0)
 
     def run(ba_on):
         sim2 = LidarImuSimulator(n_rays=1024, seed=11)
@@ -213,14 +212,15 @@ def run_ba_ab(n_frames=40):
         errs = []
         for k in range(n_frames):
             f = sim2.frame(k)
-            if k and k % 10 == 0:  # recurring disturbance
+            if k % 10 == 5:  # recurring disturbance
                 st = rt.lio.state
                 rt.lio.state = st.replace(
-                    pos=st.pos + kick.normal(scale=0.25, size=3)
-                    .astype(np.float32))
-            rt.step(_bundle(f, cfg), t=k * sim2.scan_T)
-            est = R_align @ np.asarray(rt.lio.state.pos)
+                    pos=st.pos + kick.normal(0, 0.2, 3).astype(np.float32))
+            rt.process_frame(_bundle(f, cfg), t=k * sim2.scan_T)
+            # IMU-aligned world frame shares gravity; align yaw+origin at t=0
+            est = R_align @ np.asarray(rt.lio.state.pos) + p0_true
             errs.append(np.linalg.norm(est - f.gt_pos))
+        rt.close()
         return float(np.sqrt(np.mean(np.square(errs))))
 
     return run(False), run(True)

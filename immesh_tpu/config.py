@@ -124,6 +124,10 @@ class MeshConfig:
     pull_capacity: int = 48                 # pulled pts per voxel (voxel + halo ring)
     tris_per_voxel: int = 64                # per-voxel owned-triangle capacity
     active_voxels_per_frame: int = 512      # static cap on voxels re-meshed per frame
+    file_voxels_per_frame: int = 4096       # static cap on voxels FILED per
+    # frame (point→slot membership); filing is cheap scatter work so the cap
+    # sits well above the re-mesh cap — voxels filed but not re-meshed stay
+    # in the pending backlog (vox_new>0) and are drained on later frames
     mesh_chunk: int = 64                    # voxels triangulated per kernel launch
     knn_radius_scale: float = 1.25          # halo pull radius ×voxel (mesh_rec_geometry.cpp:343)
     pull_smooth_lam: float = 1.0            # pull-time Laplacian blend

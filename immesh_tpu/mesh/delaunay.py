@@ -286,6 +286,108 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
     return tris, m3 & nondeg & ~bad
 
 
+def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
+    """Edge-neighbor Delaunay argmin for ONE voxel, fully in VMEM.
+
+    For every directed pair (i, j) find k* = argmin_k of the lifted-plane
+    slope ratio Np/d over points strictly left of i→j (see delaunay_pairs).
+    The O(K³) sweep is a fori over k: each iteration needs only LANE vectors
+    (row copies of u, v, lift) and SCALARS (u[k], v[k], … from SMEM), so no
+    (K,K,K) tensor ever exists — the XLA broadcast formulation materialized
+    several of them in HBM with 48→128 lane padding and measured ~76 ms at
+    (512, 48); this kernel is pure VPU work on one (K, 128) tile per voxel.
+
+    chan_ref: (8, Kp) VMEM; rows 0-5 = [u, v, lift(perturbed), |p|²(raw),
+              valid, ε·scale²]; sm_ref: same array in SMEM for scalar loads.
+    out_ref:  (Kp8, Kp) int32 — W[i, j] = k* or -1 (no valid left point).
+    """
+    chan = chan_ref[0]                    # (8, Kp)
+    Kp8 = out_ref.shape[1]
+    u = chan[0:1, :]                      # (1, Kp) lane vectors (j-indexed)
+    v = chan[1:2, :]
+    L = chan[2:3, :]
+    w = chan[4:5, :]
+    eps = sm_ref[0, 5, 0]
+
+    # sublane (i-indexed) copies via one-hot masked reduction (exact in f32;
+    # avoids unsupported lane-dim transposes)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 1)
+    eye = rows == cols
+
+    def to_col(row):
+        return jnp.sum(jnp.where(eye, row, 0.0), axis=1, keepdims=True)
+
+    uc, vc, Lc, gc, wc = (to_col(x) for x in
+                          (u, v, L, chan[3:4, :], w))
+
+    gr = chan[3:4, :]
+    big = jnp.float32(3.4e38)
+
+    # process i in 8-sublane blocks: the k-sweep then carries only TWO
+    # (8, Kp) vregs (best, bestk) — a full (K, Kp) carry spills ~100 vregs
+    # to VMEM every iteration and measured 80 ms at (512, 48)
+    for ib in range(Kp8 // 8):
+        sl = slice(ib * 8, ib * 8 + 8)
+        ucb, vcb, Lcb, gcb, wcb = (x[sl] for x in (uc, vc, Lc, gc, wc))
+        Cij = ucb * v - vcb * u            # Cx[i, j], (8, Kp)
+        Gij = ucb * u + vcb * v
+        e2 = gcb + gr - 2.0 * Gij          # |p_j − p_i|²
+        dL = L - Lcb                       # L[j] − L[i]
+        okij = (wcb > 0.0) & (w > 0.0)
+
+        best0 = jnp.full((8, Kp), big, jnp.float32)
+        bestk0 = jnp.full((8, Kp), -1, jnp.int32)
+
+        def body(k, carry, ucb=ucb, vcb=vcb, Lcb=Lcb, gcb=gcb,
+                 Cij=Cij, Gij=Gij, e2=e2, dL=dL, okij=okij):
+            best, bestk = carry
+            uk = sm_ref[0, 0, k]
+            vk = sm_ref[0, 1, k]
+            Lk = sm_ref[0, 2, k]
+            wk = sm_ref[0, 4, k]
+            d = (u * vk - v * uk) + Cij - (ucb * vk - vcb * uk)  # 2·area
+            mp = (u * uk + v * vk) - (ucb * uk + vcb * vk) - Gij + gcb
+            Np = (Lk - Lcb) * e2 - mp * dL
+            valid = okij & (wk > 0.0) & (d > eps)
+            r = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
+            upd = r < best
+            return jnp.where(upd, r, best), jnp.where(upd, k, bestk)
+
+        best, bestk = jax.lax.fori_loop(0, K, body, (best0, bestk0))
+        out_ref[0, sl, :] = jnp.where(best < big, bestk, -1)
+
+
+def _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps):
+    """(A, K) channel arrays → W (A, K, K) int32 via the Pallas kernel;
+    W[a, i, j] = empty-circumcircle third vertex of directed edge i→j,
+    or -1."""
+    A, K = u.shape
+    Kp = _round_up(K, 128)
+    Kp8 = _round_up(K, 8)
+    chan = jnp.zeros((A, 8, Kp), jnp.float32)
+    chan = chan.at[:, 0, :K].set(u)
+    chan = chan.at[:, 1, :K].set(v)
+    chan = chan.at[:, 2, :K].set(lift)
+    chan = chan.at[:, 3, :K].set(gd)
+    chan = chan.at[:, 4, :K].set(mask.astype(jnp.float32))
+    chan = chan.at[:, 5, 0].set(d_eps)
+    W = pl.pallas_call(
+        functools.partial(_pairs_kernel, K=K, Kp=Kp),
+        grid=(A,),
+        in_specs=[
+            pl.BlockSpec((1, 8, Kp), lambda a: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, Kp), lambda a: (a, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Kp8, Kp), lambda a: (a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((A, Kp8, Kp), jnp.int32),
+    )(chan, chan)
+    return W[:, :K, :K]
+
+
 def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
                    eps_scale: float = 1e-6,
                    tiebreak: Optional[jnp.ndarray] = None,
@@ -330,33 +432,43 @@ def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
     eta = max(tie_scale, 256.0 * eps_scale) * scale * scale
     lift = lift + eta[:, None] * tb
 
-    # K×K building blocks: Gram and cross matrices (one small MXU matmul)
-    G = jnp.einsum("aki,ali->akl", uv, uv)                    # (A, K, K)
-    Cx = u[:, :, None] * v[:, None, :] - v[:, :, None] * u[:, None, :]
     gd = lift - eta[:, None] * tb                              # |p|² = u²+v²
-    e2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G             # |p_j−p_i|²
+    d_eps_a = eps_scale * scale * scale                        # (A,)
 
-    # (A, K, K, K) broadcast tensors, axes [a, i, j, k] — XLA fuses the whole
-    # chain into the argmin reduction, nothing K³ is materialized
-    # d = cross(p_j−p_i, p_k−p_i) = C[j,k] + C[i,j] − C[i,k]  (2·area, >0 ⇔ k left)
-    d = (Cx[:, None, :, :] + Cx[:, :, :, None] - Cx[:, :, None, :])
-    # m′ = (p_k−p_i)·(p_j−p_i) = G[j,k] − G[i,k] − G[i,j] + G[i,i]
-    mp = (G[:, None, :, :] - G[:, :, None, :] - G[:, :, :, None]
-          + gd[:, :, None, None])
-    Li = lift[:, :, None, None]
-    Lj = lift[:, None, :, None]
-    Lk = lift[:, None, None, :]
-    # plane slope along the left normal, ×(d·|e|²) — comparable as N′/d since
-    # d > 0 on the valid set and |e|² > 0
-    Np = (Lk - Li) * e2[:, :, :, None] - mp * (Lj - Li)
+    if jax.default_backend() == "tpu":
+        # fused VMEM kernel: the k-sweep argmin without any (K,K,K) tensor —
+        # the XLA broadcast formulation below materializes several K³
+        # intermediates (48→128 lane padded) and measured ~76 ms at (512,48)
+        # on-chip; the kernel runs the same sweep as VPU-resident f32
+        W = _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps_a)   # (A, K, K)
+        has = W >= 0
+        W = jnp.maximum(W, 0)
+    else:
+        # K×K building blocks: Gram and cross matrices
+        G = jnp.einsum("aki,ali->akl", uv, uv)                 # (A, K, K)
+        Cx = u[:, :, None] * v[:, None, :] - v[:, :, None] * u[:, None, :]
+        e2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G         # |p_j−p_i|²
 
-    d_eps = (eps_scale * scale * scale)[:, None, None, None]
-    valid = (mask[:, :, None, None] & mask[:, None, :, None]
-             & mask[:, None, None, :] & (d > d_eps))
-    big = jnp.asarray(jnp.finfo(dt).max, dt)
-    ratio = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
-    W = jnp.argmin(ratio, axis=-1).astype(jnp.int32)           # (A, K, K)
-    has = jnp.min(ratio, axis=-1) < big                        # some left k
+        # (A, K, K, K) broadcast tensors, axes [a, i, j, k]
+        # d = cross(p_j−p_i, p_k−p_i) = C[j,k]+C[i,j]−C[i,k] (2·area, >0 ⇔ left)
+        d = (Cx[:, None, :, :] + Cx[:, :, :, None] - Cx[:, :, None, :])
+        # m′ = (p_k−p_i)·(p_j−p_i) = G[j,k] − G[i,k] − G[i,j] + G[i,i]
+        mp = (G[:, None, :, :] - G[:, :, None, :] - G[:, :, :, None]
+              + gd[:, :, None, None])
+        Li = lift[:, :, None, None]
+        Lj = lift[:, None, :, None]
+        Lk = lift[:, None, None, :]
+        # plane slope along the left normal, ×(d·|e|²) — comparable as N′/d
+        # since d > 0 on the valid set and |e|² > 0
+        Np = (Lk - Li) * e2[:, :, :, None] - mp * (Lj - Li)
+
+        d_eps = d_eps_a[:, None, None, None]
+        valid = (mask[:, :, None, None] & mask[:, None, :, None]
+                 & mask[:, None, None, :] & (d > d_eps))
+        big = jnp.asarray(jnp.finfo(dt).max, dt)
+        ratio = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
+        W = jnp.argmin(ratio, axis=-1).astype(jnp.int32)       # (A, K, K)
+        has = jnp.min(ratio, axis=-1) < big                    # some left k
 
     # mutual agreement: W[i,j]=k ∧ W[j,k]=i ∧ W[k,i]=j
     ar = jnp.arange(K, dtype=jnp.int32)

@@ -92,12 +92,14 @@ class GlobalPointMap:
         """Append one frame of world points (dedup'd); returns
         (new_map, active_slots (A,), active_mask (A,), drops) — the meshing
         work list plus bounded-loss accounting (all () int32 device scalars):
-          drops["cells"]   distinct dedup cells beyond max_pts_per_frame
-          drops["points"]  fresh points lost to point-store capacity
-          drops["voxels"]  touched voxels beyond active_voxels_per_frame,
-                           plus voxel hash-insert failures
-          drops["slots"]   fresh points lost to full per-voxel slot rows
-          drops["active"]  dilated active voxels beyond the per-frame cap
+          drops["cells"]    distinct dedup cells beyond max_pts_per_frame
+                            (after the uniform decimation this is ≈0)
+          drops["points"]   fresh points lost to point-store capacity
+          drops["voxels"]   touched voxels beyond file_voxels_per_frame,
+                            plus voxel hash-insert failures
+          drops["slots"]    fresh points lost to full per-voxel slot rows
+          drops["deferred"] pending voxels beyond this frame's re-mesh
+                            budget — deferred to later frames, NOT lost
         (the reference warns and drops on overload too,
         ImMesh_mesh_reconstruction.cpp:288-297 — here the counters make the
         loss observable instead of silent).
@@ -110,6 +112,18 @@ class GlobalPointMap:
         cfg = self.cfg
         N = pts_world.shape[0]
         k_cells = min(N, cfg.max_pts_per_frame)
+
+        # ---- 0. uniform decimation to ≈max_pts_per_frame -----------------
+        # the reference appends every step-th point with step =
+        # pts_num / number_of_pts_append_to_map (ImMesh_mesh_reconstruction
+        # .cpp:111) — spatially UNBIASED.  Capping the dedup list instead
+        # would keep the 10k lexicographically-smallest cells, i.e. one
+        # corner of the scan, and starve the rest of the frame.
+        if N > cfg.max_pts_per_frame:
+            n_valid = jnp.sum(mask.astype(jnp.int32))
+            step = n_valid // cfg.max_pts_per_frame + 1
+            vrank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            mask = mask & (vrank % step == 0)
 
         # ---- 1. in-frame dedup at the min-spacing grid -------------------
         cell = _grid_coords(pts_world, cfg.pts_minimum_scale, tag=0)
@@ -141,19 +155,22 @@ class GlobalPointMap:
                                jnp.asarray(cfg.points_capacity, jnp.int32))
 
         # ---- 4. voxel membership: rank-ordered scatter append ------------
+        # filing capacity F is independent of (and larger than) the re-mesh
+        # cap: filing is cheap scatter work, and a filed-but-not-meshed voxel
+        # stays in the pending backlog instead of orphaning its points
         vcell = _grid_coords(pts_world[ci], cfg.voxel_resolution, tag=0)
-        A = cfg.active_voxels_per_frame
-        vseg, vfirst, n_vox = frame_unique_coords(vcell[:, :3], fresh, A)
+        F = cfg.file_voxels_per_frame
+        vseg, vfirst, n_vox = frame_unique_coords(vcell[:, :3], fresh, F)
         # insert/find the unique voxels via their representative rows (uniq
         # order), so vslots[u] is the slot of uniq voxel u
         vok = vfirst < k_cells
         vfi = jnp.minimum(vfirst, k_cells - 1)
         vox, vslots = self.vox.insert(vcell[vfi], vok)
         vslot_of_cand = jnp.where(
-            vseg < A, vslots[jnp.clip(vseg, 0, A - 1)], -1
+            vseg < F, vslots[jnp.clip(vseg, 0, F - 1)], -1
         )
         # rank of each fresh point within its voxel (deterministic by row id)
-        rank = _rank_in_segment(vseg, fresh, A)
+        rank = _rank_in_segment(vseg, fresh, F)
         write_ok = fresh & (vslot_of_cand >= 0)
         S = cfg.pts_per_voxel
         base = jnp.where(write_ok, self.vox_n[jnp.maximum(vslot_of_cand, 0)], 0)
@@ -170,8 +187,8 @@ class GlobalPointMap:
 
         # per-voxel added counts
         addc = jax.ops.segment_sum(
-            write_ok.astype(jnp.int32), jnp.where(write_ok, vseg, A),
-            num_segments=A + 1)[:-1]
+            write_ok.astype(jnp.int32), jnp.where(write_ok, vseg, F),
+            num_segments=F + 1)[:-1]
         vtgt = jnp.where(vok & (vslots >= 0), vslots, self.vox_n.shape[0])
         vox_n = self.vox_n.at[vtgt].add(addc, mode="drop")
         vox_new = self.vox_new.at[vtgt].add(addc, mode="drop")
@@ -182,16 +199,28 @@ class GlobalPointMap:
             vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
         )
 
-        # ---- 5. active set = touched voxels ∪ occupied neighbors ---------
-        active_slots, active_mask, drop_active = gm._dilate_active(
-            vslots, vok & (vslots >= 0))
+        # ---- 5. active set = pending backlog ∪ occupied neighbors --------
+        # every voxel with unmeshed new points (vox_new>0) is pending; the
+        # per-frame re-mesh cap A defers the excess to later frames instead
+        # of dropping it (the reference's mesh queue buffers overload the
+        # same way, ImMesh_mesh_reconstruction.cpp:272-310).  Voxels with
+        # <3 points cannot triangulate yet and wait in the backlog.
+        V = gm.vox_n.shape[0]
+        A = cfg.active_voxels_per_frame
+        pending = (gm.vox_new > 0) & (gm.vox_n >= 3)
+        n_pending = jnp.sum(pending.astype(jnp.int32))
+        psl = jnp.nonzero(pending, size=A, fill_value=V)[0]
+        pmask = psl < V
+        active_slots, active_mask, drop_dilate = gm._dilate_active(
+            jnp.minimum(psl, V - 1), pmask)
         drops = {
             "cells": jnp.maximum(n_cells - k_cells, 0),
             "points": drop_points,
-            "voxels": (jnp.maximum(n_vox - A, 0)
+            "voxels": (jnp.maximum(n_vox - F, 0)
                        + jnp.sum((vok & (vslots < 0)).astype(jnp.int32))),
             "slots": drop_slots,
-            "active": drop_active,
+            # deferred ≠ lost: backlog beyond this frame's re-mesh budget
+            "deferred": jnp.maximum(n_pending - A, 0) + drop_dilate,
         }
         return gm, active_slots, active_mask, drops
 
