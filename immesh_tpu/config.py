@@ -147,6 +147,11 @@ class MeshConfig:
     local_map_radius: float = 500.0         # keep radius on compaction, m
     compact_high_water: float = 0.60        # point/voxel occupancy trigger
     compact_check_every: int = 32           # host occupancy-poll period, frames
+    ablate: str = ""                        # DEBUG ONLY (tools/ablate_e2e.py):
+    # truncate the triangulation pipeline after the named stage ("skip_tri",
+    # "pull0", "argmin0", "pairs0", "compact0") to attribute in-program cost
+    # — per-stage sync timing through the tunneled chip is RTT-bound, so
+    # cumulative e2e deltas are the only reliable profile
 
 
 @dataclass(frozen=True)

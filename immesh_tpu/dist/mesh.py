@@ -184,13 +184,18 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
 
     # triangulate only the active voxels this chip OWNS — halo voxels are
     # re-meshed by their owner, whose halo covers this chip's edge points
-    smask = smask & smm.owns_voxel(slots)
+    smask_own = smask & smm.owns_voxel(slots)
     ids, counts, _ = triangulate_voxels(
-        gm, slots, smask, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
-    store = apply_triangles(smm.store, slots, smask, ids, counts)
+        gm, slots, smask_own, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
+    store = apply_triangles(smm.store, slots, smask_own, ids, counts)
+    # mark the FULL pre-ownership active set meshed: a halo voxel left
+    # pending (vox_new>0) would re-enter the backlog every frame and
+    # monotonically crowd owned voxels out of the active budget — clearing
+    # it locally is safe because the owner chip keeps its own backlog and
+    # this chip's owned border voxels were re-meshed via dilation this frame
     smm = smm.replace(gm=gm.mark_meshed(slots, smask), store=store)
     n_tris = jax.lax.psum(store.n_triangles(), axis)
-    n_active = jax.lax.psum(jnp.sum(smask.astype(jnp.int32)), axis)
+    n_active = jax.lax.psum(jnp.sum(smask_own.astype(jnp.int32)), axis)
     smm_stacked = jax.tree_util.tree_map(lambda x: x[None], smm)
     return smm_stacked, n_active, n_tris
 

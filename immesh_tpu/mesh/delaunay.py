@@ -287,7 +287,7 @@ def delaunay_mask(uv: jnp.ndarray, mask: jnp.ndarray,
 
 
 def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
-    """Edge-neighbor Delaunay argmin for ONE voxel, fully in VMEM.
+    """Edge-neighbor Delaunay argmin for EIGHT voxels, fully in VMEM.
 
     For every directed pair (i, j) find k* = argmin_k of the lifted-plane
     slope ratio Np/d over points strictly left of i→j (see delaunay_pairs).
@@ -295,103 +295,147 @@ def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
     (row copies of u, v, lift) and SCALARS (u[k], v[k], … from SMEM), so no
     (K,K,K) tensor ever exists — the XLA broadcast formulation materialized
     several of them in HBM with 48→128 lane padding and measured ~76 ms at
-    (512, 48); this kernel is pure VPU work on one (K, 128) tile per voxel.
+    (512, 48); this kernel is pure VPU work on (K, 128) tiles.
 
-    chan_ref: (8, Kp) VMEM; rows 0-5 = [u, v, lift(perturbed), |p|²(raw),
-              valid, ε·scale²]; sm_ref: same array in SMEM for scalar loads.
-    out_ref:  (Kp8, Kp) int32 — W[i, j] = k* or -1 (no valid left point).
+    Eight voxels per grid step: with one voxel per step the launch/stream
+    overhead of ~500 sequential grid iterations dominated the whole meshing
+    frame; batching amortizes it 8× for the same per-voxel arithmetic.
+
+    chan_ref: (8, 8, Kp) VMEM [voxel, channel, point]; channels 0-5 =
+              [u, v, lift(perturbed), |p|²(raw), valid, ε·scale²];
+              sm_ref: same array in SMEM for scalar loads.
+    out_ref:  (8, Kp8, Kp) int32 — W[v, i, j] = k* or -1 (no valid left pt).
     """
-    chan = chan_ref[0]                    # (8, Kp)
     Kp8 = out_ref.shape[1]
-    u = chan[0:1, :]                      # (1, Kp) lane vectors (j-indexed)
-    v = chan[1:2, :]
-    L = chan[2:3, :]
-    w = chan[4:5, :]
-    eps = sm_ref[0, 5, 0]
-
-    # sublane (i-indexed) copies via one-hot masked reduction (exact in f32;
-    # avoids unsupported lane-dim transposes)
     rows = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 1)
     eye = rows == cols
-
-    def to_col(row):
-        return jnp.sum(jnp.where(eye, row, 0.0), axis=1, keepdims=True)
-
-    uc, vc, Lc, gc, wc = (to_col(x) for x in
-                          (u, v, L, chan[3:4, :], w))
-
-    gr = chan[3:4, :]
     big = jnp.float32(3.4e38)
 
-    # process i in 8-sublane blocks: the k-sweep then carries only TWO
-    # (8, Kp) vregs (best, bestk) — a full (K, Kp) carry spills ~100 vregs
-    # to VMEM every iteration and measured 80 ms at (512, 48)
-    for ib in range(Kp8 // 8):
-        sl = slice(ib * 8, ib * 8 + 8)
-        ucb, vcb, Lcb, gcb, wcb = (x[sl] for x in (uc, vc, Lc, gc, wc))
-        Cij = ucb * v - vcb * u            # Cx[i, j], (8, Kp)
-        Gij = ucb * u + vcb * v
-        e2 = gcb + gr - 2.0 * Gij          # |p_j − p_i|²
-        dL = L - Lcb                       # L[j] − L[i]
-        okij = (wcb > 0.0) & (w > 0.0)
+    for vx in range(8):
+        chan = chan_ref[vx]               # (8, Kp)
+        u = chan[0:1, :]                  # (1, Kp) lane vectors (j-indexed)
+        v = chan[1:2, :]
+        L = chan[2:3, :]
+        w = chan[4:5, :]
+        eps = sm_ref[vx, 5, 0]
 
-        best0 = jnp.full((8, Kp), big, jnp.float32)
-        bestk0 = jnp.full((8, Kp), -1, jnp.int32)
+        # sublane (i-indexed) copies via one-hot masked reduction (exact in
+        # f32; avoids unsupported lane-dim transposes)
+        def to_col(row):
+            return jnp.sum(jnp.where(eye, row, 0.0), axis=1, keepdims=True)
 
-        def body(k, carry, ucb=ucb, vcb=vcb, Lcb=Lcb, gcb=gcb,
-                 Cij=Cij, Gij=Gij, e2=e2, dL=dL, okij=okij):
-            best, bestk = carry
-            uk = sm_ref[0, 0, k]
-            vk = sm_ref[0, 1, k]
-            Lk = sm_ref[0, 2, k]
-            wk = sm_ref[0, 4, k]
-            d = (u * vk - v * uk) + Cij - (ucb * vk - vcb * uk)  # 2·area
-            mp = (u * uk + v * vk) - (ucb * uk + vcb * vk) - Gij + gcb
-            Np = (Lk - Lcb) * e2 - mp * dL
-            valid = okij & (wk > 0.0) & (d > eps)
-            r = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
-            upd = r < best
-            return jnp.where(upd, r, best), jnp.where(upd, k, bestk)
+        uc, vc, Lc, gc, wc = (to_col(x) for x in
+                              (u, v, L, chan[3:4, :], w))
 
-        best, bestk = jax.lax.fori_loop(0, K, body, (best0, bestk0))
-        out_ref[0, sl, :] = jnp.where(best < big, bestk, -1)
+        gr = chan[3:4, :]
+
+        # process i in 8-sublane blocks: the k-sweep then carries only TWO
+        # (8, Kp) vregs (best, bestk) — a full (K, Kp) carry spills ~100
+        # vregs to VMEM every iteration and measured 80 ms at (512, 48)
+        for ib in range(Kp8 // 8):
+            sl = slice(ib * 8, ib * 8 + 8)
+            ucb, vcb, Lcb, gcb, wcb = (x[sl] for x in (uc, vc, Lc, gc, wc))
+            Cij = ucb * v - vcb * u        # Cx[i, j], (8, Kp)
+            Gij = ucb * u + vcb * v
+            e2 = gcb + gr - 2.0 * Gij      # |p_j − p_i|²
+            dL = L - Lcb                   # L[j] − L[i]
+            okij = (wcb > 0.0) & (w > 0.0)
+
+            best0 = jnp.full((8, Kp), big, jnp.float32)
+            bestk0 = jnp.full((8, Kp), -1, jnp.int32)
+
+            def body(k, carry, ucb=ucb, vcb=vcb, Lcb=Lcb, gcb=gcb,
+                     Cij=Cij, Gij=Gij, e2=e2, dL=dL, okij=okij,
+                     u=u, v=v, L=L, eps=eps, vx=vx):
+                best, bestk = carry
+                uk = sm_ref[vx, 0, k]
+                vk = sm_ref[vx, 1, k]
+                Lk = sm_ref[vx, 2, k]
+                wk = sm_ref[vx, 4, k]
+                d = (u * vk - v * uk) + Cij - (ucb * vk - vcb * uk)  # 2·area
+                mp = (u * uk + v * vk) - (ucb * uk + vcb * vk) - Gij + gcb
+                Np = (Lk - Lcb) * e2 - mp * dL
+                valid = okij & (wk > 0.0) & (d > eps)
+                r = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
+                upd = r < best
+                return jnp.where(upd, r, best), jnp.where(upd, k, bestk)
+
+            best, bestk = jax.lax.fori_loop(0, K, body, (best0, bestk0))
+            out_ref[vx, sl, :] = jnp.where(best < big, bestk, -1)
 
 
-def _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps):
+def _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps, interpret: bool = False):
     """(A, K) channel arrays → W (A, K, K) int32 via the Pallas kernel;
     W[a, i, j] = empty-circumcircle third vertex of directed edge i→j,
-    or -1."""
+    or -1.  `interpret=True` runs the kernel in Pallas interpret mode so the
+    CPU test suite can cross-check it against the XLA formulation."""
     A, K = u.shape
     Kp = _round_up(K, 128)
     Kp8 = _round_up(K, 8)
-    chan = jnp.zeros((A, 8, Kp), jnp.float32)
-    chan = chan.at[:, 0, :K].set(u)
-    chan = chan.at[:, 1, :K].set(v)
-    chan = chan.at[:, 2, :K].set(lift)
-    chan = chan.at[:, 3, :K].set(gd)
-    chan = chan.at[:, 4, :K].set(mask.astype(jnp.float32))
-    chan = chan.at[:, 5, 0].set(d_eps)
+    Ap = _round_up(A, 8)
+    chan = jnp.zeros((Ap, 8, Kp), jnp.float32)
+    chan = chan.at[:A, 0, :K].set(u)
+    chan = chan.at[:A, 1, :K].set(v)
+    chan = chan.at[:A, 2, :K].set(lift)
+    chan = chan.at[:A, 3, :K].set(gd)
+    chan = chan.at[:A, 4, :K].set(mask.astype(jnp.float32))
+    chan = chan.at[:A, 5, 0].set(d_eps)
     W = pl.pallas_call(
         functools.partial(_pairs_kernel, K=K, Kp=Kp),
-        grid=(A,),
+        grid=(Ap // 8,),
         in_specs=[
-            pl.BlockSpec((1, 8, Kp), lambda a: (a, 0, 0),
+            pl.BlockSpec((8, 8, Kp), lambda a: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, Kp), lambda a: (a, 0, 0),
+            pl.BlockSpec((8, 8, Kp), lambda a: (a, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, Kp8, Kp), lambda a: (a, 0, 0),
+        out_specs=pl.BlockSpec((8, Kp8, Kp), lambda a: (a, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((A, Kp8, Kp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Ap, Kp8, Kp), jnp.int32),
+        interpret=interpret,
     )(chan, chan)
-    return W[:, :K, :K]
+    return W[:A, :K, :K]
+
+
+def _pairs_argmin_xla(uv, u, v, lift, gd, mask, d_eps_a):
+    """XLA broadcast formulation of the same edge-neighbor argmin as
+    `_pairs_argmin_tpu` (CPU/GPU path + the parity oracle for the Pallas
+    kernel, tests/test_mesh.py).  Returns (W (A,K,K) int32, has (A,K,K))."""
+    dt = uv.dtype
+    # K×K building blocks: Gram and cross matrices
+    G = jnp.einsum("aki,ali->akl", uv, uv)                 # (A, K, K)
+    Cx = u[:, :, None] * v[:, None, :] - v[:, :, None] * u[:, None, :]
+    e2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G         # |p_j−p_i|²
+
+    # (A, K, K, K) broadcast tensors, axes [a, i, j, k]
+    # d = cross(p_j−p_i, p_k−p_i) = C[j,k]+C[i,j]−C[i,k] (2·area, >0 ⇔ left)
+    d = (Cx[:, None, :, :] + Cx[:, :, :, None] - Cx[:, :, None, :])
+    # m′ = (p_k−p_i)·(p_j−p_i) = G[j,k] − G[i,k] − G[i,j] + G[i,i]
+    mp = (G[:, None, :, :] - G[:, :, None, :] - G[:, :, :, None]
+          + gd[:, :, None, None])
+    Li = lift[:, :, None, None]
+    Lj = lift[:, None, :, None]
+    Lk = lift[:, None, None, :]
+    # plane slope along the left normal, ×(d·|e|²) — comparable as N′/d
+    # since d > 0 on the valid set and |e|² > 0
+    Np = (Lk - Li) * e2[:, :, :, None] - mp * (Lj - Li)
+
+    d_eps = d_eps_a[:, None, None, None]
+    valid = (mask[:, :, None, None] & mask[:, None, :, None]
+             & mask[:, None, None, :] & (d > d_eps))
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+    ratio = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
+    W = jnp.argmin(ratio, axis=-1).astype(jnp.int32)       # (A, K, K)
+    has = jnp.min(ratio, axis=-1) < big                    # some left k
+    return W, has
 
 
 def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
                    eps_scale: float = 1e-6,
                    tiebreak: Optional[jnp.ndarray] = None,
-                   tie_scale: float = 256.0 * 1e-6
+                   tie_scale: float = 256.0 * 1e-6,
+                   impl: Optional[str] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """O(K³) Delaunay via the dual edge-neighbor characterization — the
     production kernel (delaunay_mask is the O(K⁴) oracle kept for tests).
@@ -414,7 +458,39 @@ def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
     uv: (A, K, 2), mask: (A, K).  Returns (trip (A, K², 3) int32 vertex
     index triples, keep (A, K²) bool) — triples are per-voxel (unlike
     delaunay_mask's shared candidate table).
+
+    Hot-path note: production consumers (mesh/triangles.py) should use
+    `delaunay_pairs_w` and reconstruct triples arithmetically from flat
+    row ids — materializing and then gathering the (A, K², 3) trip tensor
+    measured ~64 ms/frame at (512, 48) on v5e (generic axis-1 gather from
+    the K² axis hits the TPU scalar path); this wrapper exists for tests
+    and small callers.
     """
+    W, emit = delaunay_pairs_w(uv, mask, eps_scale=eps_scale,
+                               tiebreak=tiebreak, tie_scale=tie_scale,
+                               impl=impl)
+    A, K, _ = uv.shape
+    ar = jnp.arange(K, dtype=jnp.int32)
+    ii, jj = ar[:, None], ar[None, :]
+    trip = jnp.stack([
+        jnp.broadcast_to(ii[None], (A, K, K)),
+        jnp.broadcast_to(jj[None], (A, K, K)),
+        W,
+    ], axis=-1).reshape(A, K * K, 3)
+    return trip, emit.reshape(A, K * K)
+
+
+def delaunay_pairs_w(uv: jnp.ndarray, mask: jnp.ndarray,
+                     eps_scale: float = 1e-6,
+                     tiebreak: Optional[jnp.ndarray] = None,
+                     tie_scale: float = 256.0 * 1e-6,
+                     impl: Optional[str] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-neighbor Delaunay core: returns (W (A,K,K) int32 third-vertex
+    table, emit (A,K,K) bool one-emission-per-triangle mask).  The triple
+    for flat pair index f = i·K + j is (i, j, W[f]) — consumers reconstruct
+    it arithmetically instead of gathering a materialized triple tensor
+    (see delaunay_pairs docstring)."""
     A, K, _ = uv.shape
     dt = uv.dtype
     u, v = uv[..., 0], uv[..., 1]
@@ -435,65 +511,44 @@ def delaunay_pairs(uv: jnp.ndarray, mask: jnp.ndarray,
     gd = lift - eta[:, None] * tb                              # |p|² = u²+v²
     d_eps_a = eps_scale * scale * scale                        # (A,)
 
-    if jax.default_backend() == "tpu":
+    if impl is None:
+        impl = "tpu" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("tpu", "interpret"):
         # fused VMEM kernel: the k-sweep argmin without any (K,K,K) tensor —
         # the XLA broadcast formulation below materializes several K³
         # intermediates (48→128 lane padded) and measured ~76 ms at (512,48)
-        # on-chip; the kernel runs the same sweep as VPU-resident f32
-        W = _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps_a)   # (A, K, K)
+        # on-chip; the kernel runs the same sweep as VPU-resident f32.
+        # impl='interpret' runs it in Pallas interpret mode (CPU parity test)
+        W = _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps_a,
+                              interpret=(impl == "interpret"))  # (A, K, K)
         has = W >= 0
         W = jnp.maximum(W, 0)
     else:
-        # K×K building blocks: Gram and cross matrices
-        G = jnp.einsum("aki,ali->akl", uv, uv)                 # (A, K, K)
-        Cx = u[:, :, None] * v[:, None, :] - v[:, :, None] * u[:, None, :]
-        e2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G         # |p_j−p_i|²
+        W, has = _pairs_argmin_xla(uv, u, v, lift, gd, mask, d_eps_a)
 
-        # (A, K, K, K) broadcast tensors, axes [a, i, j, k]
-        # d = cross(p_j−p_i, p_k−p_i) = C[j,k]+C[i,j]−C[i,k] (2·area, >0 ⇔ left)
-        d = (Cx[:, None, :, :] + Cx[:, :, :, None] - Cx[:, :, None, :])
-        # m′ = (p_k−p_i)·(p_j−p_i) = G[j,k] − G[i,k] − G[i,j] + G[i,i]
-        mp = (G[:, None, :, :] - G[:, :, None, :] - G[:, :, :, None]
-              + gd[:, :, None, None])
-        Li = lift[:, :, None, None]
-        Lj = lift[:, None, :, None]
-        Lk = lift[:, None, None, :]
-        # plane slope along the left normal, ×(d·|e|²) — comparable as N′/d
-        # since d > 0 on the valid set and |e|² > 0
-        Np = (Lk - Li) * e2[:, :, :, None] - mp * (Lj - Li)
-
-        d_eps = d_eps_a[:, None, None, None]
-        valid = (mask[:, :, None, None] & mask[:, None, :, None]
-                 & mask[:, None, None, :] & (d > d_eps))
-        big = jnp.asarray(jnp.finfo(dt).max, dt)
-        ratio = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
-        W = jnp.argmin(ratio, axis=-1).astype(jnp.int32)       # (A, K, K)
-        has = jnp.min(ratio, axis=-1) < big                    # some left k
-
-    # mutual agreement: W[i,j]=k ∧ W[j,k]=i ∧ W[k,i]=j
+    # mutual agreement: W[i,j]=k ∧ W[j,k]=i ∧ W[k,i]=j.
+    # The four indexed reads W/has[a, j, k] and W/has[a, k, i] (k = W[a,i,j])
+    # are one-hot contractions over k, NOT take_along_axis gathers: the flat
+    # (A, K²)-axis gather lowers to the TPU scalar path and measured
+    # ~1.5 ms × 4 × 8 chunks ≈ 48 ms/frame at (512, 48) — the single
+    # largest op in the whole joint program.  One-hot rows have exactly one
+    # nonzero and W/has values are small ints, so f32 contraction is exact.
     ar = jnp.arange(K, dtype=jnp.int32)
     ii, jj = ar[:, None], ar[None, :]
-    Wf = W.reshape(A, K * K)
-    hf = has.reshape(A, K * K)
-
-    def g2(flat, r, c):  # flat (A, K²) gathered at [r, c] — both (…, K, K)
-        idx = (r * K + c).reshape(A, K * K)
-        return jnp.take_along_axis(flat, idx, axis=1).reshape(A, K, K)
-
-    W_jk = g2(Wf, jnp.broadcast_to(jj, (A, K, K)), W)
-    W_ki = g2(Wf, W, jnp.broadcast_to(ii, (A, K, K)))
-    h_jk = g2(hf, jnp.broadcast_to(jj, (A, K, K)), W)
-    h_ki = g2(hf, W, jnp.broadcast_to(ii, (A, K, K)))
-    agree = has & h_jk & h_ki & (W_jk == ii[None]) & (W_ki == jj[None])
+    f32 = jnp.float32
+    ohW = (W[..., None] == ar).astype(f32)                 # (A, K, K, Km)
+    Wv = jnp.maximum(W, 0).astype(f32)
+    hv = has.astype(f32)
+    # X_jk[a,i,j] = X[a, j, m]·onehot_m ;  X_ki[a,i,j] = X[a, m, i]·onehot_m
+    W_jk = jnp.einsum("aijm,ajm->aij", ohW, Wv)
+    h_jk = jnp.einsum("aijm,ajm->aij", ohW, hv)
+    W_ki = jnp.einsum("aijm,ami->aij", ohW, Wv)
+    h_ki = jnp.einsum("aijm,ami->aij", ohW, hv)
+    agree = (has & (h_jk > 0.5) & (h_ki > 0.5)
+             & (W_jk == ii[None].astype(f32)) & (W_ki == jj[None].astype(f32)))
     # emit each triangle once, from the directed edge leaving its min vertex
     emit = agree & (ii[None] < jj[None]) & (ii[None] < W)
-
-    trip = jnp.stack([
-        jnp.broadcast_to(ii[None], (A, K, K)),
-        jnp.broadcast_to(jj[None], (A, K, K)),
-        W,
-    ], axis=-1).reshape(A, K * K, 3)
-    return trip, emit.reshape(A, K * K)
+    return W, emit
 
 
 def angle_filter(p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
@@ -515,7 +570,7 @@ def angle_filter(p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
     return max_a < jnp.deg2rad(max_angle_deg)
 
 
-def compact_triangles(keep: jnp.ndarray, tris: jnp.ndarray, cap: int
+def compact_triangles(keep: jnp.ndarray, tris, cap: int
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-voxel compaction (A, T) bool → (A, cap) candidate-row ids, mask.
 

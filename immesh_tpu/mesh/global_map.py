@@ -66,6 +66,10 @@ class GlobalPointMap:
     vox_n: jnp.ndarray        # (V,) int32 occupied slots
     vox_new: jnp.ndarray      # (V,) int32 points added since last re-mesh
     vox_meshed: jnp.ndarray   # (V,) bool ever meshed
+    frame_no: jnp.ndarray     # () int32 append counter — rotates the backlog
+    # drain start so no pending voxel is starved (the reference's mesh queue
+    # is FIFO; lowest-slot-first with no aging could starve high slots
+    # indefinitely under sustained n_pending > active_voxels_per_frame)
 
     cfg: MeshConfig = struct.field(pytree_node=False)
 
@@ -82,6 +86,7 @@ class GlobalPointMap:
             vox_n=jnp.zeros(V, jnp.int32),
             vox_new=jnp.zeros(V, jnp.int32),
             vox_meshed=jnp.zeros(V, bool),
+            frame_no=jnp.asarray(0, jnp.int32),
             cfg=cfg,
         )
 
@@ -209,8 +214,15 @@ class GlobalPointMap:
         A = cfg.active_voxels_per_frame
         pending = (gm.vox_new > 0) & (gm.vox_n >= 3)
         n_pending = jnp.sum(pending.astype(jnp.int32))
-        psl = jnp.nonzero(pending, size=A, fill_value=V)[0]
-        pmask = psl < V
+        # age the drain: rotate the scan start by a per-frame stride so a
+        # sustained n_pending > A backlog is served round-robin instead of
+        # starving high slot indices (reference mesh queue is FIFO)
+        off = (gm.frame_no * jnp.int32(40503)) % jnp.int32(V)
+        psl_rot = jnp.nonzero(jnp.roll(pending, -off), size=A,
+                              fill_value=V)[0]
+        pmask = psl_rot < V
+        psl = jnp.where(pmask, (psl_rot + off) % V, V)
+        gm = gm.replace(frame_no=gm.frame_no + 1)
         active_slots, active_mask, drop_dilate = gm._dilate_active(
             jnp.minimum(psl, V - 1), pmask)
         drops = {
@@ -352,10 +364,18 @@ class GlobalPointMap:
         own_ok = (own_idx >= 0) & smask[:, None]
         p_own = self.pts[jnp.maximum(own_idx, 0)]              # (A, S, 3)
 
-        # d² via the Gram expansion — one small batched matmul per voxel
-        d2 = (jnp.sum(p_own * p_own, -1)[:, :, None]
-              + jnp.sum(cand_pts * cand_pts, -1)[:, None, :]
-              - 2.0 * jnp.einsum("asc,akc->ask", p_own, cand_pts))
+        # d² via the Gram expansion on VOXEL-CENTERED coordinates — one small
+        # batched matmul per voxel.  Centering is load-bearing: on raw world
+        # coordinates |p|² ~ |position|² and the expansion cancels
+        # catastrophically in f32 (~1 m² error at 1 km vs ~0.09 m² typical
+        # neighbor d²), turning the Gaussian weights into noise at KITTI
+        # scale; centered values are O(voxel_resolution) where f32 is exact.
+        vcen = (keys[:, :3].astype(p_own.dtype) + 0.5) * cfg.voxel_resolution
+        po_c = p_own - vcen[:, None, :]
+        cp_c = cand_pts - vcen[:, None, :]
+        d2 = (jnp.sum(po_c * po_c, -1)[:, :, None]
+              + jnp.sum(cp_c * cp_c, -1)[:, None, :]
+              - 2.0 * jnp.einsum("asc,akc->ask", po_c, cp_c))
         sig = 2.0 * cfg.pts_minimum_scale
         w = jnp.where(cand_ok[:, None, :] & (d2 < (3.0 * sig) ** 2),
                       jnp.exp(-d2 / (2.0 * sig * sig)), 0.0)   # (A, S, 27S)

@@ -33,7 +33,7 @@ from flax import struct
 
 from immesh_tpu.config import MeshConfig
 from immesh_tpu.mesh.delaunay import (
-    angle_filter, compact_triangles, delaunay_pairs, pca_project,
+    angle_filter, compact_triangles, delaunay_pairs_w, pca_project,
 )
 from immesh_tpu.mesh.global_map import GlobalPointMap
 
@@ -153,6 +153,10 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     C = cfg.tris_per_voxel
     res = cfg.voxel_resolution
 
+    if cfg.ablate == "skip_tri":
+        return (jnp.full((A, C, 3), -1, jnp.int32),
+                jnp.zeros(A, jnp.int32), jnp.zeros((), jnp.int32))
+
     pull = gm.pull_neighborhood(slots, smask)
     pts, pmask, gidx = pull["pts"], pull["mask"], pull["idx"]
     pts_sm = pull["pts_sm"]     # smoothed geometry feeds the PCA/Delaunay;
@@ -181,18 +185,66 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
                      jnp.zeros(a, jnp.int32), jnp.zeros((), jnp.int32)),
         )
 
+    def _zeros(a):
+        return (jnp.full((a, C, 3), -1, jnp.int32),
+                jnp.zeros(a, jnp.int32), jnp.zeros((), jnp.int32))
+
     def _chunk_impl(pts_c, sm_c, pmask_c, gidx_c, key_c):
+        a = pts_c.shape[0]
+        if cfg.ablate == "pull0":
+            return jax.tree_util.tree_map(
+                lambda z: z + jnp.sum(pts_c).astype(z.dtype) * 0, _zeros(a))
+        K = pts_c.shape[1]
         uv, _, _ = pca_project(sm_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
-        trip, keep = delaunay_pairs(uv, pmask_c, tiebreak=phash,
-                                    tie_scale=cfg.tie_scale)  # (a,K²,3), (a,K²)
+        if cfg.ablate == "argmin0":
+            from immesh_tpu.mesh.delaunay import _pairs_argmin_tpu
+            W = _pairs_argmin_tpu(uv[..., 0], uv[..., 1],
+                                  uv[..., 0] ** 2 + uv[..., 1] ** 2,
+                                  uv[..., 0] ** 2 + uv[..., 1] ** 2,
+                                  pmask_c, jnp.full(a, 1e-6, jnp.float32))
+            return jax.tree_util.tree_map(
+                lambda z: z + jnp.sum(W).astype(z.dtype) * 0, _zeros(a))
+        W, emit = delaunay_pairs_w(uv, pmask_c, tiebreak=phash,
+                                   tie_scale=cfg.tie_scale)   # (a,K,K) ×2
+        keep = emit.reshape(a, K * K)
+        if cfg.ablate == "pairs0":
+            s = (jnp.sum(keep.astype(jnp.int32)) + jnp.sum(W)) * 0
+            return jax.tree_util.tree_map(
+                lambda z: z + s.astype(z.dtype), _zeros(a))
 
-        rows, rmask = compact_triangles(keep, trip, C2)       # (a, C2)
+        rows, rmask = compact_triangles(keep, None, C2)       # (a, C2)
+        if cfg.ablate == "compact0":
+            s = (jnp.sum(rows) + jnp.sum(rmask.astype(jnp.int32))) * 0
+            return jax.tree_util.tree_map(
+                lambda z: z + s.astype(z.dtype), _zeros(a))
         drop1 = jnp.sum(jnp.maximum(
             jnp.sum(keep.astype(jnp.int32), axis=-1) - C2, 0))
+        # reconstruct vertex triples arithmetically from the flat pair id —
+        # gathering a materialized (a, K², 3) triple tensor measured ~64 ms
+        # per frame at (512, 48): the generic axis-1 gather from the K² axis
+        # runs on the TPU scalar path, while i/j come for free as div/mod
         rowc = jnp.maximum(rows, 0)
-        tri3 = jnp.take_along_axis(
-            trip, rowc[..., None].repeat(3, -1), axis=1)      # (a, C2, 3)
+        t0 = rowc // K
+        t1 = rowc - t0 * K
+        # W[a, i, j] lookup as two exact one-hot matmuls: a take_along_axis
+        # from the K²-length axis lowers to the TPU scalar gather path
+        # (~50 ms/frame at (512, 48²) — measured), while (C2, K)·(K, K)
+        # MXU contractions are effectively free; W entries are small ints,
+        # exact in f32, and the one-hot rows have exactly one nonzero
+        ar = jnp.arange(K, dtype=jnp.int32)
+        oh0 = (t0[..., None] == ar).astype(pts_c.dtype)       # (a, C2, K)
+        oh1 = (t1[..., None] == ar).astype(pts_c.dtype)
+        Wrow = jnp.einsum("ack,akj->acj", oh0,
+                          jnp.maximum(W, 0).astype(pts_c.dtype))
+        t2 = jnp.einsum("ack,ack->ac", oh1, Wrow).astype(jnp.int32)
+        if cfg.ablate == "fake_tri3":
+            t2 = (t0 + t1) % K
+        tri3 = jnp.stack([t0, t1, t2], axis=-1)               # (a, C2, 3)
+        if cfg.ablate == "tri30":
+            s = jnp.sum(tri3).astype(jnp.float32) * 0
+            return jax.tree_util.tree_map(
+                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
 
         def gatherp(e):
             return jnp.take_along_axis(
@@ -204,6 +256,11 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         i2 = jnp.take_along_axis(gidx_c, tri3[..., 2], axis=1)
 
         keep2 = rmask & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
+        if cfg.ablate == "gather0":
+            s = (jnp.sum(v0) + jnp.sum(i0 + i1 + i2).astype(jnp.float32)
+                 + jnp.sum(keep2.astype(jnp.int32)).astype(jnp.float32)) * 0
+            return jax.tree_util.tree_map(
+                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
         if cfg.max_edge_scale > 0:
             emax = cfg.max_edge_scale * cfg.pts_minimum_scale
             keep2 = keep2 & (
@@ -246,6 +303,11 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         cen = ((q0 + q1) + q2) * (1.0 / 3.0)
         cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, C2, 3)
         keep2 = keep2 & jnp.all(cen_key == key_c[:, None, :], axis=-1)
+        if cfg.ablate == "sort30":
+            s = (jnp.sum(s0 + s1 + s2).astype(jnp.float32) + jnp.sum(q0)
+                 + jnp.sum(keep2.astype(jnp.int32)).astype(jnp.float32)) * 0
+            return jax.tree_util.tree_map(
+                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
 
         rows2, rmask2 = compact_triangles(keep2, tri3, C)     # (a, C) → C2 rows
         drop2 = jnp.sum(jnp.maximum(

@@ -65,6 +65,32 @@ class TestDelaunayKernel:
             margin = abs(_incircle_margin(uv[0], t, n))
             assert margin < 1e-5, (t, margin, t in ref)
 
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_pairs_kernel_parity_interpret(self, seed):
+        """The Pallas edge-neighbor kernel (TPU branch, run here in interpret
+        mode) must agree with the XLA broadcast formulation on random masked
+        inputs — the CPU suite otherwise never exercises the kernel and a
+        regression in either branch would go unnoticed off/on TPU
+        (ADVICE r3).  The two implementations perform the same f32 operations
+        in the same association order, so W/keep must match exactly."""
+        from immesh_tpu.mesh.delaunay import delaunay_pairs
+
+        rng = np.random.default_rng(seed)
+        A, K = 4, 24
+        uv = rng.uniform(-0.5, 0.5, (A, K, 2)).astype(np.float32)
+        mask = rng.random((A, K)) < 0.8
+        tb = rng.integers(-2**31, 2**31 - 1, (A, K), dtype=np.int32)
+        trip_x, keep_x = delaunay_pairs(
+            jnp.asarray(uv), jnp.asarray(mask), tiebreak=jnp.asarray(tb),
+            impl="xla")
+        trip_p, keep_p = delaunay_pairs(
+            jnp.asarray(uv), jnp.asarray(mask), tiebreak=jnp.asarray(tb),
+            impl="interpret")
+        np.testing.assert_array_equal(np.asarray(keep_x), np.asarray(keep_p))
+        kept = np.asarray(keep_x)
+        np.testing.assert_array_equal(
+            np.asarray(trip_x)[kept], np.asarray(trip_p)[kept])
+
     def test_collinear_degenerate(self):
         k = 48
         uv = np.zeros((1, k, 2), np.float32)
