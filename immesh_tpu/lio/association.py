@@ -31,27 +31,30 @@ def _lookup_with_neighbors(vm: VoxelMap, q_world: jnp.ndarray):
     toward which the point leans (reference voxel_mapping.cpp:192-222 probes
     the near voxel when the own voxel has no plane).
 
-    Four sequential queries (own + 3 lean-ordered neighbors), NOT one batched
-    4N query: measured on the chip, one while_loop over 4N keys runs as many
-    rounds as the worst lane across 4× the volume and loses to four short
-    loops (+4.7 ms/frame at KITTI scan sizes)."""
-    res = vm.query_planes(q_world)
-    found = res["found"]
-    slot = res["slot"]
-
+    All four probe positions (own + 3 lean-ordered neighbors) × all levels
+    run as ONE batched hash lookup (vm.lookup_planes_stack): each separate
+    lookup while_loop costs ~0.1-0.2 ms of fixed on-device overhead, and 16
+    loops × 3 ESIKF iterations dominated the whole update (~11 ms/frame at
+    KITTI scan sizes).  Selection priority is unchanged: own voxel first,
+    then neighbors by descending |lean|."""
+    n = q_world.shape[0]
     size = vm.cfg.voxel_size
     frac = q_world / size - jnp.floor(q_world / size) - 0.5  # ∈ [-0.5, 0.5)
-    # probe the three face neighbors in order of |lean|, via one shifted query
-    # per axis (each is just a few gathers)
     order = jnp.argsort(-jnp.abs(frac), axis=-1)
+    probes = [q_world]
     for rank in range(3):
         axis_idx = order[:, rank]
-        shift = jnp.sign(frac[jnp.arange(q_world.shape[0]), axis_idx])
+        shift = jnp.sign(frac[jnp.arange(n), axis_idx])
         offset = jnp.zeros_like(q_world)
-        offset = offset.at[jnp.arange(q_world.shape[0]), axis_idx].set(shift * size)
-        res_n = vm.query_planes(q_world + offset)
-        take = ~found & res_n["found"]
-        slot = jnp.where(take, res_n["slot"], slot)
+        offset = offset.at[jnp.arange(n), axis_idx].set(shift * size)
+        probes.append(q_world + offset)
+
+    found_s, slot_s = vm.lookup_planes_stack(jnp.stack(probes, axis=0))
+    found = found_s[0]
+    slot = slot_s[0]
+    for rank in range(3):
+        take = ~found & found_s[rank + 1]
+        slot = jnp.where(take, slot_s[rank + 1], slot)
         found = found | take
     return found, slot
 

