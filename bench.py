@@ -170,6 +170,9 @@ def kitti_config():
             pts_minimum_scale=0.15, voxel_resolution=0.6,
             points_capacity=2 ** 18, voxel_capacity=2 ** 15,
             compact_check_every=8, local_map_radius=120.0,
+            # the outdoor frontier files ~3-7k voxels/frame; a 1024 re-mesh
+            # budget halves the pending backlog vs 512 while staying >10 Hz
+            active_voxels_per_frame=1024,
         ),
     )
 
@@ -320,13 +323,18 @@ def main() -> None:
         detail["drops_" + k[len("drop_"):]] = v
 
     # mesh quality next to the drop counters (VERDICT r3 item 6): the scene
-    # is analytic, so vertex→surface distance and hole accounting are exact
+    # is analytic, so vertex→surface distance and hole accounting are exact.
+    # Vertices live in the FILTER world frame (origin at the initial body
+    # pose); transform to the simulator's true frame before measuring —
+    # without this, the ~1.7 m sensor height reads as surface error.
     import numpy as np
     from immesh_tpu.eval.mesh_quality import (
         hole_stats, vertex_surface_distance)
     verts, faces = pipe.mesh.extract()
     if len(verts):
-        vd = vertex_surface_distance(verts, ksim.scene)
+        R0, p0 = ksim.traj.pose(0.0)
+        verts_true = verts @ R0.T + p0
+        vd = vertex_surface_distance(verts_true, ksim.scene)
         detail["mesh_vertex_rms_m"] = round(float(np.sqrt(np.mean(vd ** 2))), 4)
         detail["mesh_vertex_p95_m"] = round(float(np.percentile(vd, 95)), 4)
         hs = hole_stats(faces)

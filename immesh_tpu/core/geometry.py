@@ -79,8 +79,15 @@ def eigh3x3(A: jnp.ndarray):
         best12 = (n12 >= n01) & (n12 >= n02)
         best02 = (n02 >= n01) & ~best12
         v = jnp.where(best12[..., None], c12, jnp.where(best02[..., None], c02, c01))
-        nrm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS))
-        return v / nrm
+        # EXACT normalization: clamping the norm to sqrt(_EPS) returned
+        # short "unit" vectors (0.37·unit observed) for doubly-degenerate
+        # covariances (λ_min ≈ λ_mid ⇒ tiny cross products) — the direction
+        # of a tiny cross product is still a deterministic eigvec choice.
+        # Only the exactly-zero case falls back to a fixed axis.
+        nrm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        unit = v / jnp.sqrt(jnp.where(nrm2 > 0, nrm2, 1.0))
+        fallback = jnp.zeros_like(v).at[..., 0].set(1.0)
+        return jnp.where(nrm2 > 0, unit, fallback)
 
     v_min = eigvec_for(lam_min)
     v_max = eigvec_for(lam_max)
@@ -108,15 +115,23 @@ def eigh3x3(A: jnp.ndarray):
 
 
 def plane_from_moments(sum_p: jnp.ndarray, sum_ppT: jnp.ndarray, count: jnp.ndarray,
-                       sigma2_mean: jnp.ndarray, min_count: int = 5):
+                       sigma2_mean: jnp.ndarray, min_count: int = 5,
+                       anchor: jnp.ndarray = None):
     """Fit planes from per-voxel running moments, batched over voxels.
 
     Args:
-      sum_p:       (..., 3)     Σ pᵢ
-      sum_ppT:     (..., 3, 3)  Σ pᵢpᵢᵀ
+      sum_p:       (..., 3)     Σ (pᵢ − anchor)
+      sum_ppT:     (..., 3, 3)  Σ (pᵢ − anchor)(pᵢ − anchor)ᵀ
       count:       (...,)       N (float or int)
       sigma2_mean: (...,)       running mean of per-point isotropic noise σ̄²
       min_count:   minimum N for a valid fit (ref layer_init_size[0]=5)
+      anchor:      (..., 3) per-voxel accumulation anchor, or None (= 0).
+                   Moments MUST be accumulated anchored at world scale: with
+                   raw coordinates |p| ≈ 100 m, Σppᵀ/N − μμᵀ cancels to f32
+                   noise (~1e-3 m²) — larger than a thin plane's λ_min — and
+                   eigh3x3's eigenvector cross-products collapse (observed
+                   non-unit normals at 0.37·unit).  Anchored at the voxel
+                   center, coordinates are O(voxel_size) where f32 is exact.
 
     Returns dict of per-voxel plane arrays:
       normal (...,3), d (...,), center (...,3), lam (...,3 ascending),
@@ -133,6 +148,8 @@ def plane_from_moments(sum_p: jnp.ndarray, sum_ppT: jnp.ndarray, count: jnp.ndar
     cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
     lam, vecs = eigh3x3(cov)
     normal = vecs[..., :, 0]  # min-eigenvalue column
+    if anchor is not None:
+        mean = mean + anchor
     d = -jnp.sum(normal * mean, axis=-1)
 
     # closed-form normal covariance (see module docstring)

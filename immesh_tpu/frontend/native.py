@@ -179,8 +179,23 @@ class ImuRing:
 # point-type registrations preprocess.h:95-149)
 LAYOUTS = {
     # name: (point_step, (x,y,z) offsets, t_off, t_dtype, t_scale, ring_off, ring_dtype)
+    # Packed driver-wire variants (PointCloud2 fields laid end-to-end):
     "velodyne": (22, (0, 4, 8), 18, DTYPE_F32, 1.0, 16, DTYPE_U16),
-    "ouster64": (48, (0, 4, 8), 16, DTYPE_U32, 1e-9, 22, DTYPE_U16),
     "hesai_xt32": (26, (0, 4, 8), 18, DTYPE_F64, 1.0, 16, DTYPE_U16),
     "livox": (18, (0, 4, 8), 14, DTYPE_F32, 1e-3, -1, DTYPE_U8),
+    # C++-padded struct layouts exactly as the reference registers them
+    # (reference src/preprocess.h:95-149; PCL_ADD_POINT4D = x,y,z + 4 B pad,
+    # EIGEN_ALIGN16 rounds sizeof to 16) — what pcl::toROSMsg serializes:
+    #   ouster_ros::Point  {xyzw, intensity@16, t u32@20, reflectivity@24,
+    #                       ring u8@26, ambient@28, range u32@32} → 48 B
+    #   velodyne_ros::Point{xyzw, intensity@16, time f32@20, ring@24} → 32 B
+    #   xt32_ros::Point    {xyzw, intensity@16, timestamp f64@24 (8-aligned),
+    #                       ring@32} → 48 B
+    "ouster64": (48, (0, 4, 8), 20, DTYPE_U32, 1e-9, 26, DTYPE_U8),
+    "velodyne_pcl": (32, (0, 4, 8), 20, DTYPE_F32, 1.0, 24, DTYPE_U16),
+    "xt32_pcl": (48, (0, 4, 8), 24, DTYPE_F64, 1.0, 32, DTYPE_U16),
+    # livox_ros_driver CustomMsg CustomPoint wire layout (the message the
+    # reference's avia_handler consumes, preprocess.cpp:139): offset_time
+    # u32 ns @0, x/y/z f32 @4/8/12, reflectivity u8 @16, tag @17, line @18
+    "livox_custommsg": (19, (4, 8, 12), 0, DTYPE_U32, 1e-9, 18, DTYPE_U8),
 }

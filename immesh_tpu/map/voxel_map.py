@@ -133,11 +133,17 @@ class VoxelMap:
         seg, first, _ = frame_unique_coords(coords[:, :3], mask, max_voxels)
         seg_ok = seg < max_voxels
 
+        # moments are accumulated relative to each point's VOXEL CENTER:
+        # raw world coordinates cancel catastrophically in the f32 covariance
+        # (see core/geometry.plane_from_moments anchor doc); every point of a
+        # voxel shares the anchor, so Σ(p−c) moments stay exact per voxel
+        size = cfg.voxel_size / (2 ** level)
+        pl = pts - (coords[:, :3].astype(pts.dtype) + 0.5) * size
         w = seg_ok.astype(pts.dtype)
         feats = jnp.concatenate(
             [
-                pts * w[:, None],                                   # Σp (3)
-                _sym_pack(pts[:, :, None] * pts[:, None, :]) * w[:, None],  # Σppᵀ (6)
+                pl * w[:, None],                                    # Σ(p−c) (3)
+                _sym_pack(pl[:, :, None] * pl[:, None, :]) * w[:, None],  # (6)
                 w[:, None],                                         # N (1)
                 (sigma2 * w)[:, None],                              # Σσ² (1)
             ],
@@ -180,9 +186,12 @@ class VoxelMap:
         s = jnp.where(ok, slots, 0)
         n = self.count[s]
         sigma2_mean = self.sigma2_sum[s] / jnp.maximum(n, 1.0)
+        # anchor = the slot's voxel center (moments are center-relative)
+        size = cfg.voxel_size / (2 ** level)
+        anchor = (self.table.keys[s, :3].astype(self.sum_p.dtype) + 0.5) * size
         fit = plane_from_moments(
             self.sum_p[s], _sym_unpack(self.sum_ppT[s]), n, sigma2_mean,
-            min_count=cfg.min_plane_points,
+            min_count=cfg.min_plane_points, anchor=anchor,
         )
         planar = fit["valid"] & (fit["lam"][..., 0] < cfg.planer_threshold)
         tgt = jnp.where(ok, slots, cfg.capacity)

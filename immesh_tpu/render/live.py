@@ -148,6 +148,31 @@ class RegionCache:
             }
 
 
+def extract_planes(vm) -> "np.ndarray":
+    """Live VoxelMap → (M, 8) f32 plane-patch rows
+    [center x y z, normal x y z, half_extent, min_eigenvalue].
+
+    The `pubPlaneMap` analogue (reference src/voxel_mapping.cpp:947-1159
+    renders the probabilistic voxel planes as a MarkerArray — the main
+    debugging view for the LIO map): patch extent follows the voxel level
+    (octant children are half-size), color-by-min-eigenvalue happens in the
+    viewer."""
+    import numpy as np
+
+    valid = np.asarray(vm.plane_valid)
+    idx = np.nonzero(valid)[0]
+    center = np.asarray(vm.center)[idx]
+    normal = np.asarray(vm.normal)[idx]
+    lam = np.asarray(vm.lam)[idx]                   # ascending eigenvalues
+    level = np.asarray(vm.table.keys)[idx, 3].astype(np.float32)
+    half = (0.45 * vm.cfg.voxel_size / (2.0 ** level)).astype(np.float32)
+    return np.concatenate(
+        [center, normal, half[:, None],
+         np.maximum(lam[:, :1], 0.0)],     # f32 fit noise can dip < 0
+        axis=1
+    ).astype(np.float32)
+
+
 class LiveMeshServer:
     """Threaded HTTP server exposing the region cache + trajectory.
 
@@ -168,7 +193,13 @@ class LiveMeshServer:
         "pause": bool,
         "draw_mesh": bool,
         "draw_traj": bool,
+        "draw_planes": bool,
         "follow": bool,
+        # runtime-mutable reinforcement parameters (the reference exposes
+        # density/depth live in its GUI, ImMesh_node.cpp:305-329); the
+        # runtime reads these when it rasterizes reinforcement points
+        "reinf_step": int,
+        "reinf_max_depth": float,
     }
 
     def __init__(self, cache: RegionCache, host: str = "127.0.0.1",
@@ -179,14 +210,19 @@ class LiveMeshServer:
         self._traj: "collections.deque" = collections.deque(maxlen=2000)
         self._traj_lock = threading.Lock()
         self._controls = {"pause": False, "draw_mesh": True,
-                          "draw_traj": True, "follow": True}
+                          "draw_traj": True, "draw_planes": False,
+                          "follow": True,
+                          "reinf_step": 2, "reinf_max_depth": 80.0}
         self._controls_lock = threading.Lock()
+        self._planes = b"\x00\x00\x00\x00"      # i32 count + (M, 8) f32
+        self._planes_lock = threading.Lock()
         cache_ref = self.cache
         traj_ref = self._traj
         traj_lock = self._traj_lock
         controls_ref = self._controls
         controls_lock = self._controls_lock
         control_types = self.CONTROL_TYPES
+        srv = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def log_message(self, *a):      # silence request spam
@@ -231,6 +267,10 @@ class LiveMeshServer:
                         return
                     self._send(200, cache_ref.region_bytes(rid),
                                "application/octet-stream")
+                elif path == "/planes":
+                    with srv._planes_lock:
+                        body = srv._planes
+                    self._send(200, body, "application/octet-stream")
                 elif path == "/controls":
                     with controls_lock:
                         body = json.dumps(dict(controls_ref)).encode()
@@ -294,6 +334,17 @@ class LiveMeshServer:
             self._traj.append([float(t)] + [float(v) for v in pos]
                               + [float(v) for v in quat_xyzw])
 
+    def record_planes(self, planes) -> None:
+        """Publish the current plane patches ((M, 8) f32, see
+        extract_planes) for the viewer's plane-map overlay."""
+        import numpy as np
+        import struct as _struct
+
+        arr = np.ascontiguousarray(planes, np.float32)
+        body = _struct.pack("<i", arr.shape[0]) + arr.tobytes()
+        with self._planes_lock:
+            self._planes = body
+
     def start(self) -> "LiveMeshServer":
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True)
@@ -332,15 +383,22 @@ layout(location=0) in vec3 p;uniform mat4 mvp;
 void main(){gl_Position=mvp*vec4(p,1.);}`;
 const LFS=`#version 300 es
 precision highp float;out vec4 o;void main(){o=vec4(1.,.55,.1,1.);}`;
+const PVS=`#version 300 es
+layout(location=0) in vec3 p;layout(location=1) in vec3 c;
+uniform mat4 mvp;out vec3 vc;
+void main(){vc=c;gl_Position=mvp*vec4(p,1.);}`;
+const PFS=`#version 300 es
+precision highp float;in vec3 vc;out vec4 o;void main(){o=vec4(vc,.85);}`;
 function prog(vs,fs){const c=(t,s)=>{const h=gl.createShader(t);
  gl.shaderSource(h,s);gl.compileShader(h);
  if(!gl.getShaderParameter(h,gl.COMPILE_STATUS))
   throw gl.getShaderInfoLog(h);return h};
  const p=gl.createProgram();gl.attachShader(p,c(gl.VERTEX_SHADER,vs));
  gl.attachShader(p,c(gl.FRAGMENT_SHADER,fs));gl.linkProgram(p);return p}
-const P=prog(VS,FS),LP=prog(LVS,LFS);
+const P=prog(VS,FS),LP=prog(LVS,LFS),PP=prog(PVS,PFS);
 const uMVP=gl.getUniformLocation(P,"mvp"),uMV=gl.getUniformLocation(P,"mv"),
-      uT=gl.getUniformLocation(P,"tint"),uL=gl.getUniformLocation(LP,"mvp");
+      uT=gl.getUniformLocation(P,"tint"),uL=gl.getUniformLocation(LP,"mvp"),
+      uP=gl.getUniformLocation(PP,"mvp");
 // mat helpers (column major)
 function mul(a,b){const r=new Float32Array(16);
  for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
@@ -376,10 +434,28 @@ addEventListener("keydown",e=>{
  if(e.key==="f")setCtl("follow",!ctl.follow);
  else if(e.key===" "){setCtl("pause",!ctl.pause);e.preventDefault()}
  else if(e.key==="m")setCtl("draw_mesh",!ctl.draw_mesh);
+ else if(e.key==="p")setCtl("draw_planes",!ctl.draw_planes);
  else if(e.key==="t")setCtl("draw_traj",!ctl.draw_traj)});
 // region buffers
 const regions=new Map();let seq=0,nTri=0,traj=[],trajBuf=gl.createBuffer(),
- trajN=0,fetching=false;
+ trajN=0,fetching=false,planeBuf=gl.createBuffer(),planeN=0,nPlanes=0;
+// plane-map overlay (pubPlaneMap analogue): each (center,normal,half,eig)
+// row becomes a quad in the normal's tangent plane, colored green→red by
+// min-eigenvalue (flat = green)
+function buildPlanes(ab){const dv=new DataView(ab),m=dv.getInt32(0,true);
+ nPlanes=m;const src=new Float32Array(ab,4,m*8);
+ const out=new Float32Array(m*6*6);let o=0;
+ for(let i=0;i<m;i++){const b=i*8,c=[src[b],src[b+1],src[b+2]],
+  n=[src[b+3],src[b+4],src[b+5]],h=src[b+6],eig=src[b+7];
+  const a=Math.abs(n[0])<.9?[1,0,0]:[0,1,0];
+  const u=norm3(cross(n,a)),v=cross(n,u);
+  const q=Math.min(1,eig/.05),col=[.2+.7*q,.8-.6*q,.25];
+  const vx=[[-h,-h],[h,-h],[h,h],[-h,-h],[h,h],[-h,h]];
+  for(const[s,t]of vx){out[o++]=c[0]+u[0]*s+v[0]*t;
+   out[o++]=c[1]+u[1]*s+v[1]*t;out[o++]=c[2]+u[2]*s+v[2]*t;
+   out[o++]=col[0];out[o++]=col[1];out[o++]=col[2]}}
+ gl.bindBuffer(gl.ARRAY_BUFFER,planeBuf);
+ gl.bufferData(gl.ARRAY_BUFFER,out,gl.DYNAMIC_DRAW);planeN=m*6}
 async function poll(){if(fetching)return;fetching=true;
  try{ctl=await(await fetch("/controls")).json();
   const st=await(await fetch("/state?since="+seq)).json();
@@ -398,11 +474,15 @@ async function poll(){if(fetching)return;fetching=true;
    if(!r){r={buf:gl.createBuffer(),n:0};regions.set(rid.join(","),r)}
    gl.bindBuffer(gl.ARRAY_BUFFER,r.buf);
    gl.bufferData(gl.ARRAY_BUFFER,data,gl.DYNAMIC_DRAW);r.n=n*3}
+  if(ctl.draw_planes){
+   try{buildPlanes(await(await fetch("/planes")).arrayBuffer())}catch(e){}}
   seq=st.seq;nTri=st.n_triangles;
   hud.textContent=`immesh_tpu live — seq ${seq} · `+
    `${st.n_regions} regions · ${nTri} triangles`+
+   (ctl.draw_planes?` · ${nPlanes} planes`:"")+
    (ctl.pause?" · PAUSED":"")+` · [drag] orbit · [right-drag] pan · `+
    `[wheel] zoom · [space] pause · [m] mesh ${ctl.draw_mesh?"on":"off"} · `+
+   `[p] planes ${ctl.draw_planes?"on":"off"} · `+
    `[t] traj ${ctl.draw_traj?"on":"off"} · [f] follow ${ctl.follow?"on":"off"}`;
  }catch(e){hud.textContent="immesh_tpu — poll error: "+e}
  fetching=false}
@@ -423,6 +503,14 @@ function frame(){
   gl.bindBuffer(gl.ARRAY_BUFFER,r.buf);
   gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
   gl.drawArrays(gl.TRIANGLES,0,r.n)}
+ if(ctl.draw_planes&&planeN>0){gl.useProgram(PP);
+  gl.uniformMatrix4fv(uP,false,mvp);
+  gl.bindBuffer(gl.ARRAY_BUFFER,planeBuf);
+  gl.enableVertexAttribArray(1);
+  gl.vertexAttribPointer(0,3,gl.FLOAT,false,24,0);
+  gl.vertexAttribPointer(1,3,gl.FLOAT,false,24,12);
+  gl.drawArrays(gl.TRIANGLES,0,planeN);
+  gl.disableVertexAttribArray(1)}
  if(ctl.draw_traj&&trajN>1){gl.useProgram(LP);gl.uniformMatrix4fv(uL,false,mvp);
   gl.bindBuffer(gl.ARRAY_BUFFER,trajBuf);
   gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);

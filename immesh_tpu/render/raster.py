@@ -198,11 +198,17 @@ def unproject_depth(depth: jnp.ndarray, cam: PinholeCam, stride: int = 1
     return pw, ok.reshape(-1)
 
 
-def reinforce_scan(store, gm, cam: PinholeCam, stride: int = 2
+def reinforce_scan(store, gm, cam: PinholeCam, stride: int = 2,
+                   max_depth: float = 0.0
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """LiDAR point-cloud reinforcement: rasterize the current mesh from the
     sensor pose and synthesize densified points from the depth buffer
-    (reference GUI wiring ImMesh_node.cpp:305-329, 422-432)."""
+    (reference GUI wiring ImMesh_node.cpp:305-329, 422-432).
+
+    stride = synthesized-point density (1 = every pixel), max_depth = drop
+    synthesized points beyond this range (0 = unlimited) — the two
+    parameters the reference exposes live in its GUI; the runtime reads
+    them from the viewer controls (runtime/app.py:reinforce)."""
     tri = np.asarray(store.tri_ids).reshape(-1, 3)
     tri = tri[np.all(tri >= 0, axis=-1)]
     # pad to a shape bucket so repeated calls reuse the compiled program
@@ -214,4 +220,9 @@ def reinforce_scan(store, gm, cam: PinholeCam, stride: int = 2
     depth = depth_rasterize(gm.pts, jnp.asarray(tri_pad),
                             jnp.asarray(fmask), cam)
     pts, ok = unproject_depth(depth, cam, stride)
-    return np.asarray(pts)[np.asarray(ok)], np.asarray(depth)
+    pts = np.asarray(pts)
+    ok = np.asarray(ok)
+    if max_depth > 0:
+        d = np.asarray(depth)[::stride, ::stride].reshape(-1)
+        ok = ok & (d <= max_depth)
+    return pts[ok], np.asarray(depth)

@@ -145,6 +145,11 @@ class ImMeshRuntime:
             if self.frame_idx % self._live_sync_every == 0:
                 self.mesh.store = self._live_cache.sync(
                     self.mesh.gm, self.mesh.store)
+                # plane-map overlay (reference pubPlaneMap,
+                # voxel_mapping.cpp:947-1159): publish the LIO map's fitted
+                # planes alongside the mesh regions
+                from immesh_tpu.render.live import extract_planes
+                self._live.record_planes(extract_planes(self.lio.vm))
         self._pending_cost.append(
             (self.frame_idx, mesh_ms, n_active_dev, lio_ms))
         # flush rows at least one frame old — their programs have retired, so
@@ -160,6 +165,27 @@ class ImMeshRuntime:
             "n_effective": diag["n_effective"],
             "ba_cost": ba_cost,
         }
+
+    def reinforce(self, cam=None):
+        """LiDAR point-cloud reinforcement at the viewer's RUNTIME-MUTABLE
+        density/depth settings (the reference exposes these live in its GUI,
+        ImMesh_node.cpp:305-329): rasterize the current mesh from `cam` (or
+        a forward-looking camera at the current sensor pose) and synthesize
+        densified points from the depth buffer.  Returns (points (N, 3),
+        depth image)."""
+        from immesh_tpu.render.raster import PinholeCam, reinforce_scan
+
+        step, max_depth = 2, 80.0
+        if self._live is not None:
+            c = self._live.controls
+            step = max(1, int(c.get("reinf_step", step)))
+            max_depth = float(c.get("reinf_max_depth", max_depth))
+        if cam is None:
+            pos = np.asarray(self.lio.state.pos)
+            fwd = np.asarray(self.lio.state.rot)[:, 0]  # body +x in world
+            cam = PinholeCam.looking(pos, pos + fwd)
+        return reinforce_scan(self.mesh.store, self.mesh.gm, cam,
+                              stride=step, max_depth=max_depth)
 
     @property
     def paused(self) -> bool:

@@ -113,6 +113,60 @@ class TestServer:
         finally:
             srv.stop()
 
+    def test_planes_endpoint_and_overlay_controls(self, meshed):
+        """Plane-map overlay (VERDICT r3 item 8 / pubPlaneMap analogue):
+        extract_planes yields sane patches from a live VoxelMap, the server
+        publishes them on /planes, and the draw_planes toggle + runtime-
+        mutable reinforcement params round-trip through /controls."""
+        import numpy as np
+        from immesh_tpu.config import PRESETS
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+        from immesh_tpu.frontend.types import ScanBundle
+        from immesh_tpu.lio.pipeline import LioPipeline
+        from immesh_tpu.render.live import extract_planes
+
+        cfg, pipe = meshed
+        sim = LidarImuSimulator(n_rays=2048, seed=0)
+        cfg2 = PRESETS["sim"]()
+        lio = LioPipeline(cfg2)
+        lio.static_init(*sim.static_imu(50))
+        for k in range(3):
+            f = sim.frame(k)
+            lio.step(ScanBundle.from_numpy(
+                f.pts, f.t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+                f.scan_duration, cfg2.preprocess.max_points,
+                cfg2.imu.max_imu_per_scan))
+        planes = extract_planes(lio.vm)
+        assert planes.shape[0] > 0 and planes.shape[1] == 8
+        nrm = np.linalg.norm(planes[:, 3:6], axis=1)
+        assert np.allclose(nrm, 1.0, atol=1e-3)          # unit normals
+        assert (planes[:, 6] > 0).all()                  # positive extents
+        assert (planes[:, 7] >= 0).all()                 # min-eig ≥ 0
+
+        cache = RegionCache(cfg.mesh.region_size, cfg.mesh.voxel_resolution)
+        srv = LiveMeshServer(cache).start()
+        try:
+            srv.record_planes(planes)
+            code, raw = self._get(srv.port, "/planes")
+            assert code == 200
+            (m,) = struct.unpack_from("<i", raw)
+            assert m == planes.shape[0]
+            got = np.frombuffer(raw[4:], np.float32).reshape(m, 8)
+            np.testing.assert_array_equal(got, planes)
+            # toggle + reinforcement params are runtime-mutable controls
+            assert srv.controls["draw_planes"] is False
+            srv.set_control("draw_planes", True)
+            srv.set_control("reinf_step", 4)
+            srv.set_control("reinf_max_depth", 40.0)
+            c = srv.controls
+            assert c["draw_planes"] and c["reinf_step"] == 4
+            assert c["reinf_max_depth"] == 40.0
+            # viewer HTML carries the plane layer + key binding
+            _, html = self._get(srv.port, "/")
+            assert b"draw_planes" in html and b"buildPlanes" in html
+        finally:
+            srv.stop()
+
     def test_runtime_integration(self):
         """ImMeshRuntime.start_live_viewer serves the live mesh."""
         from immesh_tpu.frontend.sim import LidarImuSimulator
@@ -169,7 +223,9 @@ class TestControls:
             assert code == 200
             ctl = json.loads(body)
             assert ctl == {"pause": False, "draw_mesh": True,
-                           "draw_traj": True, "follow": True}
+                           "draw_traj": True, "draw_planes": False,
+                           "follow": True,
+                           "reinf_step": 2, "reinf_max_depth": 80.0}
             # POST flips pause; unknown keys are ignored, not errors
             code, body = self._req(
                 srv.port, "POST", "/controls",

@@ -142,7 +142,12 @@ class TestVoxelMap:
             slot = int(vm.table.lookup(jnp.asarray(q))[0])
             assert slot >= 0, k
             assert cnt[slot] == len(plist)
-            np.testing.assert_allclose(sp[slot], np.sum(plist, axis=0), rtol=1e-4)
+            # moments are accumulated relative to the voxel center
+            # (core/geometry.plane_from_moments anchor doc)
+            anchor = (np.asarray(k) + 0.5) * cfg.voxel_size
+            np.testing.assert_allclose(
+                sp[slot], np.sum(np.asarray(plist) - anchor, axis=0),
+                rtol=1e-4, atol=1e-4)
             checked += 1
         assert checked == 50
 
