@@ -92,9 +92,13 @@ def extract_plane_patches(vm, scale: float = 3.0,
     count = np.maximum(np.asarray(vm.count)[slots], 1.0)
 
     # in-plane principal axes from the scatter covariance (the stored SoA
-    # keeps only eigenvalues; re-derive eigenvectors host-side)
+    # keeps only eigenvalues; re-derive eigenvectors host-side).  Moments
+    # are ANCHORED at the voxel center (map/voxel_map.scan_aggregates), so
+    # the local mean — not the world-frame centroid — completes the square;
+    # covariance is translation-invariant so nothing else changes.
+    mean_l = sum_p / count[:, None]
     cov = sum_ppT / count[:, None, None] - np.einsum(
-        "ni,nj->nij", center, center)
+        "ni,nj->nij", mean_l, mean_l)
     _, vecs = np.linalg.eigh(cov + 1e-12 * np.eye(3))
     e1, e2 = vecs[:, :, 2], vecs[:, :, 1]       # largest, middle
     a1 = scale * np.sqrt(np.maximum(lam[:, 2], 1e-12))[:, None]

@@ -39,6 +39,7 @@ def _bundle(sim, cfg, k):
 
 
 class TestDpLio:
+    @pytest.mark.slow
     def test_tracks_single_device(self, mesh8):
         cfg = PRESETS["sim"]()
         sim = LidarImuSimulator(n_rays=2048, seed=7)
@@ -68,6 +69,7 @@ class TestDpLio:
         # sharded world scan reassembles to full scan size
         assert world.shape[0] == cfg.preprocess.max_points
 
+    @pytest.mark.slow
     def test_replicas_consistent(self, mesh8):
         """The replicated map must be identical on every device."""
         cfg = PRESETS["sim"]()

@@ -8,6 +8,7 @@ refinement improves localization accuracy on a coarse-voxel config.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ class TestLayerRefinement:
             vm = vm.update(jnp.asarray(pts), s2, m)
         return vm
 
+    @pytest.mark.slow
     def test_finer_layers_resolve_corner_planes(self):
         """Floor points 0.5 m from the wall: invisible to the 2-layer scheme
         (the 1.5 m octant still straddles the corner), found by 4 layers
@@ -75,6 +77,7 @@ class TestLayerRefinement:
         levels = np.unique(keys[live, 3])
         assert set(levels.tolist()) >= {0, 1, 2}, levels
 
+    @pytest.mark.slow
     def test_four_layers_improve_ate_on_coarse_voxels(self):
         """Localization with deliberately coarse (3 m) odometry voxels on the
         sim room: 4 layers must beat 2 layers on ATE (the reference runs

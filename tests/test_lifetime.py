@@ -6,6 +6,7 @@ equivalent of the reference's sliding local-map cube and recent-voxel expiry
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from immesh_tpu.config import (ImMeshConfig, LioConfig, MeshConfig,
                                PreprocessConfig, VoxelMapConfig)
@@ -63,6 +64,7 @@ class TestVoxelMapCompact:
 
 
 class TestLioOccupancyPlateau:
+    @pytest.mark.slow
     def test_long_run_occupancy_bounded(self, rng):
         """Simulated long traverse: scans advance 2 m/frame along +x for 120
         frames with a map that holds only ~40 frames' worth — occupancy must
@@ -137,6 +139,7 @@ class TestMeshCompact:
         missing = near_tris_before - near_tris_after
         assert len(missing) <= 0.05 * len(near_tris_before), len(missing)
 
+    @pytest.mark.slow
     def test_long_run_plateau_and_valid_mesh(self, rng):
         cfg = self._mesh_cfg()
         mp = MeshPipeline(cfg)

@@ -184,6 +184,7 @@ class TestRematchEquivalence:
     which is precisely the condition the reference's rematch verifies before
     it sets m_EKF_stop_flg."""
 
+    @pytest.mark.slow
     def test_converged_state_is_reassociation_fixed_point(self, rng):
         from immesh_tpu.config import PRESETS
         from immesh_tpu.core.geometry import lidar_point_cov_body

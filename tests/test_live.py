@@ -246,6 +246,7 @@ class TestControls:
         finally:
             srv.stop()
 
+    @pytest.mark.slow
     def test_runtime_pause_blocks_run(self, meshed):
         """ImMeshRuntime.run waits while the live viewer's pause is set."""
         import threading

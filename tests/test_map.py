@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from immesh_tpu.config import VoxelMapConfig
 from immesh_tpu.map.hash import EMPTY, HashTable, voxel_coords
@@ -103,6 +104,7 @@ class TestVoxelMap:
         d.update(kw)
         return VoxelMapConfig(**d)
 
+    @pytest.mark.slow
     def test_ground_plane_fits(self, rng):
         vm = VoxelMap.create(self._cfg())
         pts = _make_plane_scan(rng, n=20000)  # ~50 pts/voxel so fits are dense
@@ -120,6 +122,7 @@ class TestVoxelMap:
         )
         assert dist.max() < 0.05
 
+    @pytest.mark.slow
     def test_moments_match_numpy(self, rng):
         cfg = self._cfg(max_layers=1)
         vm = VoxelMap.create(cfg)
@@ -151,6 +154,7 @@ class TestVoxelMap:
             checked += 1
         assert checked == 50
 
+    @pytest.mark.slow
     def test_incremental_updates_accumulate(self, rng):
         vm = VoxelMap.create(self._cfg())
         p1 = _make_plane_scan(rng, n=500, extent=3.0)
@@ -161,6 +165,7 @@ class TestVoxelMap:
         n2 = float(jnp.sum(vm.count))
         assert n1 == 500 and n2 == 1000
 
+    @pytest.mark.slow
     def test_freeze_at_max_points(self, rng):
         vm = VoxelMap.create(self._cfg(max_points_per_voxel=50, max_layers=1))
         # all points in one voxel
@@ -182,6 +187,7 @@ class TestVoxelMap:
         keys = np.asarray(vm.table.keys)
         assert np.any(keys[:, 3] == 1)
 
+    @pytest.mark.slow
     def test_masked_points_ignored(self, rng):
         vm = VoxelMap.create(self._cfg())
         pts = _make_plane_scan(rng, n=200, extent=2.0)

@@ -124,6 +124,7 @@ class TestDelaunayKernel:
 
 
 class TestGlobalPointMap:
+    @pytest.mark.slow
     def test_dedup_and_counts(self):
         cfg = PRESETS["sim"]().mesh
         gm = GlobalPointMap.create(cfg)
@@ -140,6 +141,7 @@ class TestGlobalPointMap:
         cell = np.floor(kept / cfg.pts_minimum_scale).astype(int)
         assert len(np.unique(cell, axis=0)) == n1
 
+    @pytest.mark.slow
     def test_pull_includes_halo(self):
         cfg = PRESETS["sim"]().mesh
         gm = GlobalPointMap.create(cfg)
@@ -192,6 +194,7 @@ class TestMeshPipeline:
         # sensor was above the ground plane → winding makes normals point up
         assert (n[:, 2] > 0).mean() > 0.99
 
+    @pytest.mark.slow
     def test_incremental_refines_border(self):
         """Adding points next to an existing patch re-meshes the border
         without duplicate or stale overlapping triangles."""

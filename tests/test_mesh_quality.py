@@ -70,6 +70,7 @@ class TestMeshAccuracy:
         mp.step(pts, np.ones(len(pts), bool), np.array([0, 0, 3.0]))
         return mp
 
+    @pytest.mark.slow
     def test_report_on_analytic_plane(self):
         cfg = PRESETS["sim"]()
         mp = self._mesh_noisy_plane(cfg)
@@ -137,6 +138,7 @@ class TestDisplaySmoothing:
 
 
 class TestPullTimeSmoothing:
+    @pytest.mark.slow
     def test_pull_smoothing_denoises_live_mesh(self):
         """Pull-time Laplacian smoothing (reference retrieves SMOOTHED
         positions for triangulation and stores them on the point record,

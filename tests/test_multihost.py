@@ -50,6 +50,7 @@ class TestMeshBuilders:
 
 
 class TestScalingCurve:
+    @pytest.mark.slow
     def test_curve_runs_and_reports(self, tmp_path):
         cfg = PRESETS["sim"]()
         cfg = cfg.replace(

@@ -54,6 +54,7 @@ class TestConstVelocityPropagate:
 
 
 class TestExtrinsics:
+    @pytest.mark.slow
     def test_lio_with_extrinsics_matches_ground_truth(self):
         """LiDAR mounted offset+rotated from the IMU: ATE must stay cm-class
         when the configured extrinsics match the sensor's (and degrade by an

@@ -48,6 +48,7 @@ class TestOwnership:
         o1 = owner_of_coords(c1, 4, N_DEV)
         np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
 
+    @pytest.mark.slow
     def test_partition_disjoint_and_complete(self, rng):
         """Owned voxel keys across shards = exactly the single-device keys."""
         cfg = PRESETS["sim"]()
@@ -102,6 +103,7 @@ class TestOwnership:
 
 
 class TestShardedLio:
+    @pytest.mark.slow
     def test_tracks_single_device(self, mesh8):
         cfg = PRESETS["sim"]()
         sim = LidarImuSimulator(n_rays=2048, seed=7)
@@ -134,6 +136,7 @@ class TestShardedLio:
         assert owned.max() < total_ref          # no shard holds everything
         assert np.asarray(svm.is_halo).sum() > 0
 
+    @pytest.mark.slow
     def test_map_capacity_scales(self, mesh8):
         """The raison d'être: per-shard occupancy ≈ total/n, so an n-chip
         mesh holds ~n× the voxels of one chip's table."""

@@ -259,6 +259,7 @@ class TestWindowBAIntegration:
         assert np.all(np.abs(np.abs(normals[:, 2]) - 1.0) < 0.05)
         np.testing.assert_allclose(np.abs(ds), 0.3, atol=0.05)
 
+    @pytest.mark.slow
     def test_localization_mode_ba_reduces_ate(self):
         """End-to-end: prebuilt map + weak filter + recurring disturbances;
         runtime-integrated window BA must reduce ATE vs the same run without
