@@ -115,6 +115,7 @@ class LioPipeline:
         self.vm = VoxelMap.create(cfg.voxel_map)
         self.frame_idx = 0
         self.n_compactions = 0
+        self._occ_pending = None  # in-flight async occupancy copy
 
     def static_init(self, acc, gyr):
         """IMU static initialization (reference IMU_init)."""
@@ -158,12 +159,21 @@ class LioPipeline:
         local-map radius; if the map is genuinely dense, shrink the radius
         until occupancy drops — never silently stop growing."""
         mc = self.cfg.voxel_map
-        if mc.compact_check_every <= 0 or \
-                self.frame_idx % mc.compact_check_every != 0:
+        if mc.compact_check_every <= 0:
             return False
         high = mc.compact_high_water * mc.capacity
-        if int(self.vm.n_voxels()) <= high:
+        # one-FRAME-delayed async occupancy poll (see mesh/pipeline.py): a
+        # synchronous int() stalls the frame pipeline one device round trip;
+        # the async copy makes next frame's read host-local and free
+        pending = self._occ_pending
+        n_v = self.vm.n_voxels()
+        n_v.copy_to_host_async()
+        self._occ_pending = n_v
+        if pending is None:
             return False
+        if int(pending) <= high:
+            return False
+        self._occ_pending = None
         self.n_compactions += 1
         radius = mc.local_map_radius
         for _ in range(8):

@@ -64,6 +64,7 @@ class MeshPipeline:
         # bounded-loss drop counters of the most recent step (device scalars)
         self.last_drops = None
         self.n_compactions = 0
+        self._occ_pending = None  # in-flight async occupancy copy
 
     def step(self, pts_world, mask, sensor_pos):
         """Returns the active-voxel count as a DEVICE scalar — callers that
@@ -94,14 +95,28 @@ class MeshPipeline:
         by RAM reserves + recent-voxel expiry, pointcloud_rgbd.cpp:278-294,
         425-455; a sliding map is the fixed-capacity equivalent)."""
         mc = self.cfg.mesh
-        if mc.compact_check_every <= 0 or \
-                self.frame_idx % mc.compact_check_every != 0:
+        if mc.compact_check_every <= 0:
             return False
         high_p = mc.compact_high_water * mc.points_capacity
         high_v = mc.compact_high_water * mc.voxel_capacity
-        if (int(self.gm.n_points()) <= high_p
-                and int(self.gm.vox.occupancy()) <= high_v):
+        # one-FRAME-delayed async occupancy poll: a synchronous int() here
+        # stalls the async frame pipeline for a full device round trip
+        # (~26 ms through the tunneled chip); the async copy prefetches the
+        # scalar so next frame's read is host-local and free, and the
+        # high-water decision tolerates one frame of staleness
+        pending = self._occ_pending
+        # + 0 copies pt_count out of the gm pytree — the live buffer is
+        # donated into the next frame's program and would be deleted under us
+        n_p = self.gm.n_points() + 0
+        n_v = self.gm.vox.occupancy()
+        for x in (n_p, n_v):
+            x.copy_to_host_async()
+        self._occ_pending = (n_p, n_v)
+        if pending is None:
             return False
+        if (int(pending[0]) <= high_p and int(pending[1]) <= high_v):
+            return False
+        self._occ_pending = None  # state changes below invalidate the poll
         self.n_compactions += 1
         radius = mc.local_map_radius
         for _ in range(8):

@@ -90,13 +90,13 @@ class TestLioOccupancyPlateau:
             pipe.frame_idx += 1
             pipe.maybe_compact()
             occ_trace.append(int(pipe.vm.n_voxels()))
-        # plateau: every post-compaction checkpoint is under the mark
-        # (compaction fires when frame_idx hits a check_every multiple,
-        # i.e. at loop index k = check_every·m − 1)
-        every = cfg.voxel_map.compact_check_every
-        checkpoints = occ_trace[every - 1::every]
-        assert max(checkpoints) <= high, (max(checkpoints), high)
-        # growth between checks stays bounded well below capacity
+        # plateau under the one-frame-delayed async poll
+        # (lio/pipeline.maybe_compact): detection lags ≤2 frames, so the
+        # trace may overshoot the mark by a couple frames' voxel inflow
+        inflow = max(np.diff(occ_trace[:8]).max(), 1)
+        slack = 3 * inflow
+        assert max(occ_trace) <= high + slack, (max(occ_trace), high, slack)
+        # growth stays bounded well below capacity
         assert max(occ_trace) < 0.75 * cfg.voxel_map.capacity
         # and the CURRENT neighborhood is still mapped (no silent loss)
         probe = _plane_patch(rng, 2.0 * 119, 0, n=16, extent=2.0)
