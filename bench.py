@@ -124,7 +124,12 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
         emitted = 0
         for d in diags:
             for k_, v in d.items():
-                if k_.startswith("drop_"):
+                if k_ == "drop_deferred":
+                    # a backlog LEVEL, not a loss flow — summing re-counts
+                    # the same pending voxels every frame; report the final
+                    # level (0 ⇒ the backlog fully drains)
+                    drops[k_] = int(v)
+                elif k_.startswith("drop_"):
                     drops[k_] = drops.get(k_, 0) + int(v)
             emitted += int(d.get("tris_emitted", 0))
         out["drops"] = drops
