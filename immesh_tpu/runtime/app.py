@@ -119,6 +119,10 @@ class ImMeshRuntime:
                 world_scan, bundle.mask, self.lio.state.pos)
             mesh_ms = self.timer.toc("mesh")
 
+        # prefetch: enqueue the device→host copy behind the frame's programs
+        # so the blocking read below pays compute latency, not an extra
+        # transfer round trip (~26 ms through a tunneled chip)
+        self.lio.state.pos.copy_to_host_async()
         pos = np.asarray(self.lio.state.pos)
         ba_cost = None
         if self.ba is not None:
