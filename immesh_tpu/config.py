@@ -44,6 +44,9 @@ class PreprocessConfig:
     timestamp_unit: float = 1e-3    # per-point relative-time unit in seconds
     calib_laser: bool = False       # KITTI vertical-angle recalibration (voxel_mapping.cpp:1844-1859)
     max_points: int = 32768         # static per-scan point capacity (pad/truncate bucket)
+    feature_extract_en: bool = False  # LOAM plane/edge feature extraction
+    # (reference `feature_extract_en`, preprocess.cpp:900 give_feature; off in
+    # every shipped reference config — the voxel map consumes raw points)
 
 
 @dataclass(frozen=True)
@@ -156,6 +159,14 @@ class MeshConfig:
     # "pull0", "argmin0", "pairs0", "compact0") to attribute in-program cost
     # — per-stage sync timing through the tunneled chip is RTT-bound, so
     # cumulative e2e deltas are the only reliable profile
+
+    def __post_init__(self):
+        # triangle vertex ids flow through exact f32 one-hot contractions
+        # (mesh/triangles.py), which are only exact for ids < 2^24 — fail
+        # loudly here instead of silently corrupting ids at larger capacity
+        assert self.points_capacity < 2 ** 24, (
+            "points_capacity must stay < 2^24: triangle vertex ids are "
+            "carried through f32 contractions (mesh/triangles.py)")
 
 
 @dataclass(frozen=True)

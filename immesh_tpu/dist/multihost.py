@@ -173,13 +173,14 @@ def scaling_curve(cfg, ns: Sequence[int], *, frames: int = 4,
 
     all_devs = jax.devices()
     n_pts_full = cfg.preprocess.max_points
+    ns = [n for n in ns if n <= len(all_devs)]
+    if not ns:
+        return []
     bundles = _bench_frames(cfg, warmup + frames, outdoor)
     results = []
     t_base = None
-    n_max = max(n for n in ns if n <= len(all_devs))
+    n_max = max(ns)
     for n in ns:
-        if n > len(all_devs):
-            break
         if mode == "weak":
             keep = (n_pts_full // n_max) * n
             cfg_n = cfg.replace(preprocess=cfg.preprocess.__class__(

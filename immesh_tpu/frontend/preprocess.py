@@ -78,7 +78,36 @@ class Preprocessor:
 
         if cfg.calib_laser and cfg.lidar_type == LidarType.KITTI64:
             xyz = kitti_vertical_angle_calib(xyz)
+
+        # optional LOAM feature extraction (reference feature_extract_en →
+        # give_feature, preprocess.cpp:900-1210): when enabled, downstream
+        # registration consumes the classified feature cloud instead of the
+        # raw scan — surf (plane) features feed the point-to-plane ESIKF,
+        # edge features ride along for completeness (the plane voxel map
+        # still χ²-gates them per residual)
+        if cfg.feature_extract_en:
+            from immesh_tpu.frontend.features import extract_features
+            ring = (np.asarray(scan.ring)[keep] if scan.ring is not None
+                    else self._ring_from_elevation(xyz))
+            surf, edge = extract_features(xyz, ring, t_rel)
+            sel = surf | edge
+            # degenerate scans (too few classified points to constrain the
+            # 6-DoF update) fall back to the raw cloud — the reference's
+            # configs sidestep this by shipping feature_extract_en: 0
+            if int(sel.sum()) >= 64:
+                xyz, t_rel = xyz[sel], t_rel[sel]
         return xyz, t_rel
+
+    def _ring_from_elevation(self, xyz: np.ndarray) -> np.ndarray:
+        """Synthesize a ring index by binning elevation into n_scans bands
+        (the reference's velodyne handler derives ring from the vertical
+        angle the same way, preprocess.cpp:515-523)."""
+        if len(xyz) == 0:
+            return np.zeros(0, np.int32)
+        el = np.arctan2(xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1))
+        lo, hi = el.min(), el.max() + 1e-9
+        n = max(self.cfg.n_scans, 1)
+        return np.minimum(((el - lo) / (hi - lo) * n).astype(np.int32), n - 1)
 
     # ------------------------------------------------------------------
     def _relative_time(self, scan: RawScan, n: int) -> np.ndarray:

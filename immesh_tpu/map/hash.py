@@ -68,10 +68,14 @@ class HashTable:
     # Probe rounds compare this 4 B fingerprint instead of the 16 B key row:
     # TPU gathers pay per-row cost (~1.6 GB/s at these row sizes, measured),
     # so the lookup loop's traffic drops 4×.  A fingerprint collision inside
-    # one probe chain (2⁻³¹ per occupied slot visited) can mis-resolve a
-    # lookup; every consumer is distance/χ²-gated, so the effect is one
-    # dropped/spurious candidate — bounded loss, like the capacity drops.
-    # insert() still compares FULL keys, so the map structure stays exact.
+    # one probe chain (2⁻³¹ per occupied slot visited) mis-resolves a lookup
+    # — and PERSISTENTLY: if key B's probe chain crosses an earlier slot
+    # whose fingerprint collides, every lookup of B returns that slot until
+    # a compaction rebuilds the table, not just once.  Every consumer is
+    # distance/χ²-gated, so the effect is one dropped/spurious candidate per
+    # query — bounded loss, like the capacity drops — but the aliasing
+    # itself is sticky, not transient.  insert() still compares FULL keys,
+    # so the map structure (slot assignment) stays exact.
 
     capacity: int = struct.field(pytree_node=False)
     max_probe: int = struct.field(pytree_node=False)
@@ -168,10 +172,13 @@ class HashTable:
             claim = claim.at[catt].min(ids, mode="drop")
             won = attempt & (claim[jnp.minimum(catt, self.capacity - 1)] == ids)
             # winners hold distinct slots by construction of the tournament;
-            # losers all alias the dropped out-of-bounds index
+            # losers all alias the same out-of-bounds index, so the index
+            # vector is NOT unique — unique_indices would be UB here (JAX
+            # documents violated uniqueness as undefined even when the
+            # duplicates are all dropped)
             wtgt = jnp.where(won, cand, self.capacity)
-            keys = keys.at[wtgt].set(coords, mode="drop", unique_indices=True)
-            fp = fp.at[wtgt].set(fpq, mode="drop", unique_indices=True)
+            keys = keys.at[wtgt].set(coords, mode="drop")
+            fp = fp.at[wtgt].set(fpq, mode="drop")
             slot = jnp.where(won, cand, slot)
             claim = claim.at[catt].set(nowin, mode="drop")  # restore scratch
             return r + 1, keys, fp, claim, done | won, slot

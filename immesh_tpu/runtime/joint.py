@@ -63,10 +63,12 @@ class JointPipeline:
         self.mesh.last_active = (slots, smask)
         self.frame_idx += 1
         self.lio.frame_idx = self.mesh.frame_idx = self.frame_idx
-        # lifetime management on the fused path too: occupancy polls are
-        # host-side every compact_check_every frames, compaction itself is a
-        # jitted device program (reference bounds its working set by RAM
-        # reserves + recent-voxel expiry, pointcloud_rgbd.cpp:278-294,425-455)
+        # lifetime management on the fused path too: any positive
+        # compact_check_every enables an async host-side occupancy poll
+        # EVERY frame (the poll is a free async scalar copy; ≤0 disables);
+        # compaction itself is a jitted device program (reference bounds its
+        # working set by RAM reserves + recent-voxel expiry,
+        # pointcloud_rgbd.cpp:278-294,425-455)
         self.lio.maybe_compact()
         self.mesh.maybe_compact(self.lio.state.pos)
         return world_scan, diag

@@ -74,3 +74,59 @@ class TestPcd:
                 f.write(" ".join(str(v) for v in r) + "\n")
         back = load_pcd(str(p))
         np.testing.assert_allclose(back, pts)
+
+
+class TestFeatureWiring:
+    """feature_extract_en wires give_feature into Preprocessor.process
+    (reference preprocess.cpp:900: the flag routes the feature cloud, not the
+    raw scan, to registration)."""
+
+    def test_flag_selects_feature_subset(self):
+        from dataclasses import replace
+        from immesh_tpu.config import PRESETS
+        from immesh_tpu.frontend.preprocess import Preprocessor, RawScan
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+
+        cfg = PRESETS["sim"]()
+        pp = replace(cfg.preprocess, feature_extract_en=True,
+                     timestamp_unit=1.0)
+        sim = LidarImuSimulator(n_rays=4096, seed=0)
+        f = sim.frame(0)
+        raw = RawScan(xyz=f.pts, time_off=f.t_rel)
+        pts_raw, _ = Preprocessor(replace(pp, feature_extract_en=False)
+                                  ).process(raw)
+        pts_f, t_f = Preprocessor(pp).process(raw)
+        assert 64 <= len(pts_f) < len(pts_raw), \
+            "feature cloud must be a strict, non-degenerate subset"
+        assert len(t_f) == len(pts_f)
+
+    def test_lio_runs_on_feature_scans(self):
+        """End-to-end: LIO consumes feature-extracted scans and stays sane."""
+        from dataclasses import replace
+        import numpy as np
+        from immesh_tpu.config import PRESETS
+        from immesh_tpu.frontend.preprocess import Preprocessor, RawScan
+        from immesh_tpu.frontend.sim import LidarImuSimulator
+        from immesh_tpu.frontend.types import ScanBundle
+        from immesh_tpu.lio.pipeline import LioPipeline
+
+        cfg = PRESETS["sim"]()
+        cfg = cfg.replace(preprocess=replace(
+            cfg.preprocess, feature_extract_en=True, timestamp_unit=1.0,
+            max_points=4096))
+        pre = Preprocessor(cfg.preprocess)
+        sim = LidarImuSimulator(n_rays=4096, seed=1)
+        pipe = LioPipeline(cfg)
+        pipe.static_init(*sim.static_imu(100))
+        for k in range(3):
+            f = sim.frame(k)
+            pts, t_rel = pre.process(RawScan(xyz=f.pts, time_off=f.t_rel))
+            b = ScanBundle.from_numpy(
+                pts, t_rel, f.imu_stamps, f.imu_acc, f.imu_gyr,
+                f.scan_duration, cfg.preprocess.max_points,
+                cfg.imu.max_imu_per_scan)
+            pipe.step(b)
+        pos = np.asarray(pipe.state.pos)
+        assert np.all(np.isfinite(pos))
+        # static-ish sim start: the filter must not diverge on feature clouds
+        assert np.linalg.norm(pos) < 5.0
