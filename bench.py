@@ -25,7 +25,12 @@ superset is also written to BENCH_DETAIL.json:
   * lio_frames_per_s_kitti131k        — odometry alone at KITTI scale
   * mesh_tris_emitted_per_s           — triangles BUILT per second during the
                                         KITTI-scale run
-  * ate_rmse_m_sim / ate_rmse_m_kitti — eval/ate.py over TUM traces
+  * ate_rmse_m_sim / ate_rmse_m_sim_outdoor — eval/ate.py over TUM traces
+                                        (sim scenes; no real dataset bytes
+                                        exist in this environment — the
+                                        "kitti131k" suffix refers to SCAN
+                                        SCALE and operating mode, not the
+                                        KITTI dataset)
   * ate_ba_off / ate_ba_on            — window-BA A/B on the localization
                                         replay (BASELINE.md north star)
   * drops_*                           — bounded-loss accounting (should be ~0)
@@ -78,7 +83,8 @@ def gen_frames(cfg, outdoor, n_total, seed=0):
 
 
 def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
-              with_ate=False, ate_path=None):
+              with_ate=False, ate_path=None, adaptive_budget=0,
+              drain_tail=False):
     """Build a pipeline at cfg's scale, replay pregenerated frames, measure."""
     import jax
     import numpy as np
@@ -89,7 +95,7 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
         pipe = LioPipeline(cfg)
         lio, mesh = pipe, None
     else:
-        pipe = JointPipeline(cfg)
+        pipe = JointPipeline(cfg, adaptive_mesh_budget=adaptive_budget)
         lio, mesh = pipe.lio, pipe.mesh
     if cfg.imu.imu_en:
         lio.static_init(*sim.static_imu(100))
@@ -122,23 +128,47 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
         # transferred once here, after timing)
         drops = {}
         emitted = 0
+        trend = []
         for d in diags:
             for k_, v in d.items():
                 if k_ == "drop_deferred":
                     # a backlog LEVEL, not a loss flow — summing re-counts
                     # the same pending voxels every frame; report the final
-                    # level (0 ⇒ the backlog fully drains)
+                    # level (0 ⇒ the backlog fully drains) and the per-frame
+                    # trend (steady vs growing is the real-time question —
+                    # the reference's criterion is mesh queue <10 frames,
+                    # ImMesh_mesh_reconstruction.cpp:294-297)
                     drops[k_] = int(v)
+                    trend.append(int(v))
                 elif k_.startswith("drop_"):
                     drops[k_] = drops.get(k_, 0) + int(v)
             emitted += int(d.get("tris_emitted", 0))
         out["drops"] = drops
+        out["backlog_trend"] = trend
         out["tris_emitted_per_s"] = emitted / dt
         out["live_triangles"] = int(mesh.store.n_triangles())
         out["map_points"] = int(mesh.gm.n_points())
         out["map_mesh_voxels"] = int(mesh.gm.vox.occupancy())
         out["map_lio_voxels"] = int(lio.vm.n_voxels())
         out["n_compactions"] = mesh.n_compactions + lio.n_compactions
+
+        if drain_tail:
+            # After the stream stops, the pending backlog must drain to
+            # ZERO in bounded time (deferred ≠ lost): run mesh-only steps
+            # on an empty scan until drop_deferred reaches 0.  The
+            # reference's idle mesh threads drain its frame queue the same
+            # way (service_reconstruct_mesh, :272-310).
+            sensor = np.asarray(lio.state.pos)
+            empty_pts = np.zeros((1, 3), np.float32)
+            empty_mask = np.zeros(1, bool)
+            backlog = drops.get("drop_deferred", 0)
+            tail = 0
+            while backlog > 0 and tail < 128:
+                mesh.step(empty_pts, empty_mask, sensor)
+                backlog = int(mesh.last_drops["drop_deferred"])
+                tail += 1
+            out["drain_tail_frames"] = tail
+            out["backlog_after_drain"] = backlog
 
     if with_ate:
         from immesh_tpu.eval import ate as ate_mod
@@ -162,10 +192,11 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
 
 def kitti_config():
     """The kitti preset at its true operating point (reference
-    config/velodyne.yaml): 131,072-pt scans, IMU-less constant-twist mode,
-    meshing capacities sized so the outdoor run crosses the compaction
-    high-water mark (lifetime management must FIRE during the bench, not
-    exist on an untraveled code path)."""
+    config/velodyne.yaml): 131,072-pt scans, IMU-less constant-twist mode.
+    points_capacity is sized so the 40-frame outdoor run CROSSES the 0.60
+    compaction high-water mark around frame ~30 (the r4 run ended at ~105k
+    points): lifetime management must FIRE during the bench, not exist on
+    an untraveled code path — BENCH JSON records n_compactions ≥ 1."""
     from immesh_tpu.config import PRESETS
     base = PRESETS["kitti"]()
     return base.replace(
@@ -173,19 +204,27 @@ def kitti_config():
             lidar_type=100, blind=0.05, max_points=131072),
         mesh=base.mesh.__class__(
             pts_minimum_scale=0.15, voxel_resolution=0.6,
-            points_capacity=2 ** 18, voxel_capacity=2 ** 15,
+            points_capacity=2 ** 17, voxel_capacity=2 ** 15,
             compact_check_every=8, local_map_radius=120.0,
-            # the outdoor frontier files ~3-7k voxels/frame; a 1024 re-mesh
-            # budget halves the pending backlog vs 512 while staying >10 Hz
+            # the outdoor frontier files ~3-7k voxels/frame; the base 1024
+            # re-mesh budget is topped up adaptively (JointPipeline
+            # adaptive_mesh_budget) whenever a backlog is pending
             active_voxels_per_frame=1024,
         ),
     )
 
 
-def run_ba_ab(n_frames=40):
-    """Window-BA A/B: localization-mode replay with recurring pose kicks on a
-    prebuilt map — ATE with BA feedback on vs off (the drift-injected replay
-    of tests/test_window_ba.py, measured instead of asserted)."""
+def run_ba_scenario(n_frames=40, kick_mag=0.2, window=5, full_slam=False,
+                    _map_cache={}):
+    """Window-BA A/B in one scenario: a replay with recurring pose kicks of
+    `kick_mag` metres — ATE with BA feedback on vs off (the drift-injected
+    replay of tests/test_window_ba.py, measured instead of asserted).
+
+    full_slam=False: localization mode against a prebuilt clean map (the
+    filter cannot repair drift via map updates, isolating the BA effect).
+    full_slam=True: mapping runs live (update_map=True), so kicks also
+    corrupt the growing map — BA must correct the pose before the damage
+    compounds.  Returns (ate_off, ate_on)."""
     import numpy as np
     from immesh_tpu.config import PRESETS, BaConfig, LioConfig
     from immesh_tpu.frontend.sim import LidarImuSimulator
@@ -200,26 +239,36 @@ def run_ba_ab(n_frames=40):
             cfg.imu.max_imu_per_scan)
 
     sim = LidarImuSimulator(n_rays=2048, seed=3)
-    cfg_map = PRESETS["sim"]()
-    pipe = LioPipeline(cfg_map)
-    pipe.static_init(*sim.static_imu(100))
-    for k in range(30):
-        pipe.step(_bundle(sim.frame(k), cfg_map))
-    vm_clean = pipe.vm
     R0_true, p0_true = sim.traj.pose(0.0)
+    vm_clean = None
+    if not full_slam:
+        if "vm" not in _map_cache:
+            cfg_map = PRESETS["sim"]()
+            pipe = LioPipeline(cfg_map)
+            pipe.static_init(*sim.static_imu(100))
+            for k in range(30):
+                pipe.step(_bundle(sim.frame(k), cfg_map))
+            _map_cache["vm"] = pipe.vm
+        vm_clean = _map_cache["vm"]
 
     def run(ba_on):
         sim2 = LidarImuSimulator(n_rays=1024, seed=11)
+        if full_slam:
+            lio_cfg = LioConfig(max_iterations=2, downsample_voxel=0.2,
+                                map_update_points=2048, update_map=True)
+        else:
+            lio_cfg = LioConfig(max_iterations=1, downsample_voxel=2.0,
+                                map_update_points=64, update_map=False)
         cfg = PRESETS["sim"]().replace(
-            lio=LioConfig(max_iterations=1, downsample_voxel=2.0,
-                          map_update_points=64, update_map=False),
-            ba=BaConfig(enabled=ba_on, window_size=5,
+            lio=lio_cfg,
+            ba=BaConfig(enabled=ba_on, window_size=window,
                         kf_trans_thresh=0.25, pts_per_keyframe=512,
                         iterations=8, huber_delta=0.3,
                         odo_w_rot=1e2, odo_w_t=1e2))
         rt = ImMeshRuntime(cfg, mesh_enabled=False)
         rt.static_init(*sim2.static_imu(100))
-        rt.lio.vm = vm_clean
+        if vm_clean is not None:
+            rt.lio.vm = vm_clean
         R_align = R0_true @ np.asarray(rt.lio.state.rot).T
         kick = np.random.default_rng(0)
         errs = []
@@ -228,7 +277,8 @@ def run_ba_ab(n_frames=40):
             if k % 10 == 5:  # recurring disturbance
                 st = rt.lio.state
                 rt.lio.state = st.replace(
-                    pos=st.pos + kick.normal(0, 0.2, 3).astype(np.float32))
+                    pos=st.pos
+                    + kick.normal(0, kick_mag, 3).astype(np.float32))
             rt.process_frame(_bundle(f, cfg), t=k * sim2.scan_T)
             # IMU-aligned world frame shares gravity; align yaw+origin at t=0
             est = R_align @ np.asarray(rt.lio.state.pos) + p0_true
@@ -237,6 +287,17 @@ def run_ba_ab(n_frames=40):
         return float(np.sqrt(np.mean(np.square(errs))))
 
     return run(False), run(True)
+
+
+# the BA evidence sweep (VERDICT r4 item 5): kick magnitude × window size ×
+# mode — one marginal win on one replay is thin evidence; the claim "BA
+# helps, and never hurts" must hold per regime
+BA_SCENARIOS = {
+    "loc_kick0.2_w5": dict(kick_mag=0.2, window=5),
+    "loc_kick0.4_w8": dict(kick_mag=0.4, window=8),
+    "loc_kick0.1_w5": dict(kick_mag=0.1, window=5),
+    "slam_kick0.2_w5": dict(kick_mag=0.2, window=5, full_slam=True),
+}
 
 
 def measure_mfu(pipe, frames, ms_per_frame):
@@ -267,6 +328,10 @@ def main() -> None:
                     help="sim-scale joint bench only (round-1 behavior)")
     ap.add_argument("--lio-only", action="store_true")
     ap.add_argument("--no-ba", action="store_true", help="skip the BA A/B")
+    ap.add_argument("--adaptive-budget", type=int, default=2048,
+                    help="re-mesh budget used on backlog frames (0 = fixed)")
+    ap.add_argument("--no-oracle", action="store_true",
+                    help="skip the scipy watertightness oracle")
     args = ap.parse_args()
 
     if args.platform:
@@ -314,16 +379,23 @@ def main() -> None:
         cfg_kitti, True, args.warmup + args.kitti_frames)
     kitti_out, pipe = run_scale(
         cfg_kitti, ksim, kgt, kframes, args.kitti_frames, args.warmup,
-        with_ate=True, ate_path=os.path.join(here, ".bench_kitti_tum.txt"))
+        with_ate=True, ate_path=os.path.join(here, ".bench_kitti_tum.txt"),
+        adaptive_budget=args.adaptive_budget, drain_tail=True)
     detail["odom_mesh_frames_per_s_kitti131k"] = round(kitti_out["frames_per_s"], 2)
     detail["odom_mesh_ms_per_frame_kitti131k"] = round(kitti_out["ms_per_frame"], 1)
-    detail["ate_rmse_m_kitti"] = round(kitti_out.get("ate_rmse_m", -1.0), 4)
+    # ATE on the simulated outdoor street canyon at KITTI scan scale — NOT
+    # the KITTI dataset (no real sensor bytes exist in this environment;
+    # VERDICT r4 weak #5 rename)
+    detail["ate_rmse_m_sim_outdoor"] = round(kitti_out.get("ate_rmse_m", -1.0), 4)
     detail["mesh_tris_emitted_per_s"] = round(kitti_out["tris_emitted_per_s"])
     detail["live_triangles"] = kitti_out["live_triangles"]
     detail["map_points"] = kitti_out["map_points"]
     detail["map_mesh_voxels"] = kitti_out["map_mesh_voxels"]
     detail["map_lio_voxels"] = kitti_out["map_lio_voxels"]
     detail["n_compactions"] = kitti_out["n_compactions"]
+    detail["backlog_trend"] = kitti_out["backlog_trend"]
+    detail["drain_tail_frames"] = kitti_out.get("drain_tail_frames", 0)
+    detail["backlog_after_drain"] = kitti_out.get("backlog_after_drain", 0)
     for k, v in kitti_out["drops"].items():
         detail["drops_" + k[len("drop_"):]] = v
 
@@ -344,6 +416,16 @@ def main() -> None:
         detail["mesh_vertex_p95_m"] = round(float(np.percentile(vd, 95)), 4)
         hs = hole_stats(faces)
         detail["mesh_boundary_edge_frac"] = round(hs["boundary_fraction"], 4)
+        detail["mesh_boundary_edges"] = hs["boundary_edges"]
+        if not args.no_oracle:
+            # reference-geometry oracle on the SAME recorded map (scipy
+            # standing in for CGAL): how much of the boundary fraction is
+            # kernel-induced vs inherent to the sampled point sets
+            from immesh_tpu.eval.mesh_quality import oracle_boundary_stats
+            ho = oracle_boundary_stats(pipe.mesh.gm, max_voxels=4096)
+            detail["mesh_boundary_edge_frac_oracle"] = round(
+                ho["boundary_fraction"], 4)
+            detail["mesh_boundary_edges_oracle"] = ho["boundary_edges"]
 
     flops, mfu = measure_mfu(pipe, kframes, kitti_out["ms_per_frame"])
     if mfu is not None:
@@ -355,11 +437,16 @@ def main() -> None:
                            args.kitti_frames, args.warmup, lio_only=True)
     detail["lio_frames_per_s_kitti131k"] = round(lio_out["frames_per_s"], 2)
 
-    # ---- window-BA A/B (BASELINE.md north star) ---------------------------
+    # ---- window-BA A/B sweep (BASELINE.md north star) ---------------------
     if not args.no_ba:
-        ate_off, ate_on = run_ba_ab()
-        detail["ate_ba_off"] = round(ate_off, 4)
-        detail["ate_ba_on"] = round(ate_on, 4)
+        tab = {}
+        for name, kw in BA_SCENARIOS.items():
+            off, on = run_ba_scenario(**kw)
+            tab[name] = {"ate_off": round(off, 4), "ate_on": round(on, 4)}
+        detail["ba_ab_table"] = tab
+        # round-4 continuity keys = the original scenario
+        detail["ate_ba_off"] = tab["loc_kick0.2_w5"]["ate_off"]
+        detail["ate_ba_on"] = tab["loc_kick0.2_w5"]["ate_on"]
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=2)

@@ -92,9 +92,13 @@ class VoxelMapConfig:
     # voxel_mapping_common.cpp:214-288; cube_side_length default 1000 m)
     local_map_radius: float = 500.0         # keep radius on compaction, m
     compact_high_water: float = 0.60        # occupancy fraction triggering compaction
-    compact_check_every: int = 32           # ≤0 disables compaction; the
-    # occupancy poll itself runs every frame as a free async copy with a
-    # one-frame-delayed read (a sync poll costs one device round trip)
+    compact_low_water: float = 0.45         # compaction target occupancy —
+    # hysteresis: shrinking the keep radius until occupancy ≤ low water
+    # leaves growth headroom so a dense map doesn't re-trigger every frame
+    compact_check_every: int = 32           # ≤0 disables compaction; any
+    # positive value enables the occupancy poll, which runs every frame as a
+    # free async copy with a one-frame-delayed read (a sync poll costs one
+    # device round trip)
 
 
 @dataclass(frozen=True)
@@ -151,9 +155,11 @@ class MeshConfig:
     # reserves, pointcloud_rgbd.cpp:278-294,425-455)
     local_map_radius: float = 500.0         # keep radius on compaction, m
     compact_high_water: float = 0.60        # point/voxel occupancy trigger
-    compact_check_every: int = 32           # ≤0 disables compaction; the
-    # occupancy poll itself runs every frame as a free async copy with a
-    # one-frame-delayed read (a sync poll costs one device round trip)
+    compact_low_water: float = 0.45         # compaction target (hysteresis —
+    # see VoxelMapConfig.compact_low_water)
+    compact_check_every: int = 32           # ≤0 disables compaction; any
+    # positive value enables the every-frame async occupancy poll (see
+    # VoxelMapConfig.compact_check_every)
     ablate: str = ""                        # DEBUG ONLY (tools/ablate_e2e.py):
     # truncate the triangulation pipeline after the named stage ("skip_tri",
     # "pull0", "argmin0", "pairs0", "compact0") to attribute in-program cost

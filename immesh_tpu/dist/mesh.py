@@ -30,7 +30,13 @@ by construction.  Two strategies live here:
 The sharded path needs NO collective beyond the scan all_gather the
 compute-parallel path already pays: because every chip sees the full scan,
 each chip simply appends the points of its OWNED voxel columns plus a
-2-column HALO on each slab edge.  Boundary voxels are therefore populated
+2-column HALO on each slab edge.  The append is PRE-PARTITIONED: the
+gathered scan is compacted to the owned+halo rows (an order-preserving
+cumsum-scatter) before the in-frame dedup, and the per-frame budgets
+(max_pts_per_frame / file_voxels_per_frame / active_voxels_per_frame) are
+scaled by the keep fraction, so per-chip append cost is O(N/n + halo)
+rather than O(N) — the term that previously made summed multi-chip mesh
+cost grow ∝ n (docs/scaling.md).  Boundary voxels are therefore populated
 bitwise-identically on both sides (same gathered scan, same in-frame dedup
 representatives — the halo is wide enough that every dedup cell feeding a
 pulled point is fully inside both chips' append masks), so the
@@ -44,6 +50,7 @@ export/viewing (ids offset by shard).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -53,11 +60,53 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from immesh_tpu.config import ImMeshConfig
+from immesh_tpu.config import ImMeshConfig, MeshConfig
 from immesh_tpu.mesh.global_map import GlobalPointMap
 from immesh_tpu.mesh.triangles import (
     TriangleStore, apply_triangles, triangulate_voxels,
 )
+
+# halo width in voxel columns on EACH side of an owned slab (see
+# ShardedMeshMap docstring for the width-2 invariant)
+_HALO_COLS = 2
+
+
+def shard_keep_fraction(slab_voxels: int, n_shards: int) -> float:
+    """Expected fraction of a (spatially uniform) scan a chip appends:
+    its owned slabs plus the 2-column halo on each slab edge."""
+    if n_shards <= 1:
+        return 1.0
+    return min(1.0, (slab_voxels + 2 * _HALO_COLS) / (slab_voxels * n_shards))
+
+
+def shard_mesh_config(mesh_cfg: MeshConfig, n_shards: int,
+                      slab_voxels: int, margin: float = 1.5) -> MeshConfig:
+    """Scale the PER-FRAME budgets of a mesh config by the shard keep
+    fraction (×margin headroom for spatial non-uniformity).
+
+    This is the second half of the dedup pre-partition (docs/scaling.md): the
+    compacted append buffer shrinks the O(N log N) in-frame dedup sort to
+    O(N/n), but the budget-sized stages (hash-insert candidates =
+    min(rows, max_pts_per_frame), voxel filing, active re-mesh set) would
+    otherwise stay replicated at full size on every chip and cap mesh-append
+    scaling at 1×.  CAPACITIES are untouched — each shard keeps a full-size
+    store, which is exactly the capacity-scaling story.  Floors keep tiny
+    test workloads behaving like the single-chip path."""
+    f = shard_keep_fraction(slab_voxels, n_shards) * margin
+    if f >= 1.0:
+        return mesh_cfg
+
+    def scale(v: int, floor: int) -> int:
+        # never raise a budget above its configured value (tiny test
+        # configs sit below the floors), never scale below the floor
+        return max(min(v, floor), int(v * f))
+
+    return dataclasses.replace(
+        mesh_cfg,
+        max_pts_per_frame=scale(mesh_cfg.max_pts_per_frame, 2048),
+        file_voxels_per_frame=scale(mesh_cfg.file_voxels_per_frame, 512),
+        active_voxels_per_frame=scale(mesh_cfg.active_voxels_per_frame, 128),
+    )
 
 
 def _mp_mesh_body(gm: GlobalPointMap, store: TriangleStore,
@@ -135,14 +184,22 @@ class ShardedMeshMap:
     shard_id: jnp.ndarray         # () int32
     n_shards: int = struct.field(pytree_node=False)
     slab_voxels: int = struct.field(pytree_node=False)
+    # headroom factor sizing the pre-partition append buffer (and the scaled
+    # per-frame budgets) above the uniform-scan keep fraction — spatially
+    # non-uniform frames overflow the buffer past this margin and the excess
+    # is DROPPED (counted in the step's n_part_drops output)
+    append_margin: float = struct.field(pytree_node=False, default=1.5)
 
     @classmethod
     def create(cls, cfg: ImMeshConfig, shard_id: int, n_shards: int,
-               slab_voxels: int = 8) -> "ShardedMeshMap":
-        return cls(gm=GlobalPointMap.create(cfg.mesh),
-                   store=TriangleStore.create(cfg.mesh),
+               slab_voxels: int = 8, append_margin: float = 1.5
+               ) -> "ShardedMeshMap":
+        mc = shard_mesh_config(cfg.mesh, n_shards, slab_voxels, append_margin)
+        return cls(gm=GlobalPointMap.create(mc),
+                   store=TriangleStore.create(mc),
                    shard_id=jnp.asarray(shard_id, jnp.int32),
-                   n_shards=n_shards, slab_voxels=slab_voxels)
+                   n_shards=n_shards, slab_voxels=slab_voxels,
+                   append_margin=append_margin)
 
     def _owner(self, col: jnp.ndarray) -> jnp.ndarray:
         return mesh_column_owner(col, self.slab_voxels, self.n_shards)
@@ -152,8 +209,9 @@ class ShardedMeshMap:
         col = jnp.floor(
             pts_world[:, 0] / self.gm.cfg.voxel_resolution).astype(jnp.int32)
         keep = self._owner(col) == self.shard_id
-        for d in (-2, -1, 1, 2):
-            keep = keep | (self._owner(col + d) == self.shard_id)
+        for d in range(-_HALO_COLS, _HALO_COLS + 1):
+            if d:
+                keep = keep | (self._owner(col + d) == self.shard_id)
         return keep
 
     def owns_voxel(self, slots: jnp.ndarray) -> jnp.ndarray:
@@ -165,6 +223,10 @@ class ShardedMeshMap:
         return self.store.n_triangles()
 
 
+def _round_up(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
 def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
                        cfg: ImMeshConfig, axis: str):
     smm: ShardedMeshMap = jax.tree_util.tree_map(
@@ -172,8 +234,39 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
     pts_all = jax.lax.all_gather(scan_local, axis).reshape(-1, 3)
     mask_all = jax.lax.all_gather(mask_local, axis).reshape(-1)
 
-    keep = smm.append_keep(pts_all)
-    gm, slots, smask, _ = smm.gm.append_frame(pts_all, mask_all & keep)
+    keep = mask_all & smm.append_keep(pts_all)
+
+    # ---- dedup pre-partition (docs/scaling.md upgrade path) --------------
+    # Compact the gathered scan to THIS chip's owned+halo rows before
+    # append_frame, so the in-frame dedup (a lexicographic sort over the
+    # append buffer) runs on ~N/n + halo rows instead of the full N — the
+    # term that previously made summed multi-chip mesh cost grow ∝ n.  The
+    # buffer M is static: expected keep fraction × append_margin, and a
+    # cumsum-scatter (O(N) elementwise, no sort) preserves row order, so the
+    # first-occurrence dedup representatives are bitwise those of the
+    # uncompacted masked append.  Overflow beyond M (pathologically
+    # non-uniform frames) drops the excess rows — counted, like every other
+    # bounded loss.  Reference analogue being replaced: every mesh worker
+    # locks and touches the whole global map (g_mutex_append_map,
+    # ImMesh_mesh_reconstruction.cpp:113-116) vs region-sharded mutexes
+    # (triangle.cpp:35-53).
+    N = pts_all.shape[0]
+    f = shard_keep_fraction(smm.slab_voxels, smm.n_shards)
+    M = (N if f * smm.append_margin >= 1.0
+         else min(N, _round_up(int(N * f * smm.append_margin), 256)))
+    if M < N:
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        tgt = jnp.where(keep & (pos < M), pos, M)
+        pts_c = jnp.zeros((M, 3), pts_all.dtype).at[tgt].set(
+            pts_all, mode="drop")
+        n_kept = jnp.sum(keep.astype(jnp.int32))
+        mask_c = jnp.arange(M, dtype=jnp.int32) < n_kept
+        n_part_drop = jnp.maximum(n_kept - M, 0)
+    else:
+        pts_c, mask_c = pts_all, keep
+        n_part_drop = jnp.zeros((), jnp.int32)
+
+    gm, slots, smask, _ = smm.gm.append_frame(pts_c, mask_c)
     if cfg.mesh.pull_smooth_lam > 0:
         # smooth ALL active voxels this chip appended (own + halo): halo
         # copies of a point smooth from the same raw geometry, so owner and
@@ -196,15 +289,17 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
     smm = smm.replace(gm=gm.mark_meshed(slots, smask), store=store)
     n_tris = jax.lax.psum(store.n_triangles(), axis)
     n_active = jax.lax.psum(jnp.sum(smask_own.astype(jnp.int32)), axis)
+    n_part_drop = jax.lax.psum(n_part_drop, axis)
     smm_stacked = jax.tree_util.tree_map(lambda x: x[None], smm)
-    return smm_stacked, n_active, n_tris
+    return smm_stacked, n_active, n_tris, n_part_drop
 
 
 def create_sharded_mesh(mesh: Mesh, cfg: ImMeshConfig, *, axis: str = "dp",
-                        slab_voxels: int = 8):
+                        slab_voxels: int = 8, append_margin: float = 1.5):
     """Per-chip mesh shards in stacked form ((n_dev, …), sharded over axis)."""
     n = mesh.shape[axis]
-    shards = [ShardedMeshMap.create(cfg, i, n, slab_voxels) for i in range(n)]
+    shards = [ShardedMeshMap.create(cfg, i, n, slab_voxels, append_margin)
+              for i in range(n)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
     sh = jax.sharding.NamedSharding(mesh, P(axis))
     return jax.device_put(
@@ -216,12 +311,14 @@ def make_sharded_mesh_step(mesh: Mesh, cfg: ImMeshConfig, axis: str = "dp"):
 
     In: smm_stacked ((n_dev, …) sharded over axis), scan + mask sharded over
     axis (the dp LIO world-scan layout), sensor_pos replicated.
-    Out: (smm_stacked, n_active, n_triangles)."""
+    Out: (smm_stacked, n_active, n_triangles, n_part_drops) — n_part_drops
+    counts rows lost to pre-partition buffer overflow (≈0 unless a frame is
+    pathologically concentrated in one chip's slabs)."""
     body = functools.partial(_sharded_mesh_body, cfg=cfg, axis=axis)
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis, None), P(axis), P()),
-        out_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

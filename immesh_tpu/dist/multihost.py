@@ -211,7 +211,7 @@ def scaling_curve(cfg, ns: Sequence[int], *, frames: int = 4,
                 t_lio += time.perf_counter() - t0
             if mesh_step is not None:
                 t0 = time.perf_counter()
-                smm, _, _ = mesh_step(smm, world, b.mask, state.pos)
+                smm, _, _, _ = mesh_step(smm, world, b.mask, state.pos)
                 jax.block_until_ready(smm.gm.pt_count)
                 if rec:
                     t_mesh += time.perf_counter() - t0

@@ -81,3 +81,86 @@ def store_faces(store) -> np.ndarray:
     """TriangleStore → (T, 3) valid triangle id rows (host)."""
     t = np.asarray(store.tri_ids).reshape(-1, 3)
     return t[np.all(t >= 0, axis=1)]
+
+
+def _max_corner_angle_deg(v: np.ndarray) -> np.ndarray:
+    """(T, 3, 3) triangle vertices → (T,) largest interior angle, degrees."""
+    def ang(a, b, c):
+        u, w = b - a, c - a
+        cosv = np.einsum("ij,ij->i", u, w) / np.maximum(
+            np.linalg.norm(u, axis=1) * np.linalg.norm(w, axis=1), 1e-12)
+        return np.degrees(np.arccos(np.clip(cosv, -1.0, 1.0)))
+    a0 = ang(v[:, 0], v[:, 1], v[:, 2])
+    a1 = ang(v[:, 1], v[:, 2], v[:, 0])
+    return np.maximum(a0, np.maximum(a1, 180.0 - a0 - a1))
+
+
+def oracle_mesh_from_map(gm, max_voxels: int = 4096, batch: int = 512,
+                         max_angle_deg: float = 150.0,
+                         seed: int = 0) -> np.ndarray:
+    """Reference-algorithm oracle mesh over a RECORDED map state.
+
+    Runs the reference's per-voxel meshing geometry (reference
+    mesh_rec_geometry.cpp:174-295: PCA plane projection → exact 2-D Delaunay
+    → max-angle sliver filter, with CGAL stood in by scipy/qhull — the
+    oracle already accepted by tests/test_mesh.py) over the SAME pulled
+    point neighborhoods our kernel consumes, and unions the per-voxel
+    triangulations with sorted-id dedup (the reference's triangle hash,
+    triangle.hpp:330-356).  The result is what the reference pipeline would
+    produce on identical point sets — comparing its boundary-edge fraction
+    against the store's isolates kernel-induced cracks from
+    sampling-induced ones.
+
+    Returns (T, 3) global point-id faces.
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial import Delaunay as SciDelaunay
+    from scipy.spatial import QhullError
+
+    vox_n = np.asarray(gm.vox_n)
+    slots = np.where(vox_n >= 3)[0]
+    if len(slots) > max_voxels:
+        rng = np.random.default_rng(seed)
+        slots = np.sort(rng.choice(slots, max_voxels, replace=False))
+
+    pull_j = jax.jit(lambda g, s, m: g.pull_neighborhood(s, m))
+    tris = set()
+    for i in range(0, len(slots), batch):
+        sl = slots[i:i + batch]
+        pad = batch - len(sl)
+        s = np.concatenate([sl, np.zeros(pad, np.int64)]).astype(np.int32)
+        m = np.concatenate([np.ones(len(sl), bool), np.zeros(pad, bool)])
+        pull = pull_j(gm, jnp.asarray(s), jnp.asarray(m))
+        idx = np.asarray(pull["idx"])
+        pts = np.asarray(pull["pts_sm"])
+        pm = np.asarray(pull["mask"])
+        for a in range(len(sl)):
+            ok = pm[a]
+            if int(ok.sum()) < 3:
+                continue
+            p3 = pts[a][ok].astype(np.float64)
+            gi = idx[a][ok]
+            c = p3.mean(axis=0)
+            x = p3 - c
+            # PCA long/mid axes = the reference's projection plane
+            _, _, vt = np.linalg.svd(x, full_matrices=False)
+            uv = x @ vt[:2].T
+            try:
+                dt = SciDelaunay(uv, qhull_options="QJ")
+            except (QhullError, ValueError):
+                continue
+            if len(dt.simplices) == 0:
+                continue
+            v = p3[dt.simplices]                      # (T, 3, 3)
+            keep = _max_corner_angle_deg(v) <= max_angle_deg
+            for t in dt.simplices[keep]:
+                tris.add(tuple(sorted(int(g) for g in gi[t])))
+    if not tris:
+        return np.zeros((0, 3), np.int64)
+    return np.array(sorted(tris), np.int64)
+
+
+def oracle_boundary_stats(gm, **kw) -> Dict[str, float]:
+    """hole_stats of the oracle mesh (see oracle_mesh_from_map)."""
+    return hole_stats(oracle_mesh_from_map(gm, **kw))

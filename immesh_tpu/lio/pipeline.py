@@ -175,11 +175,14 @@ class LioPipeline:
             return False
         self._occ_pending = None
         self.n_compactions += 1
+        # hysteresis: compact down to the LOW water mark so steady growth
+        # doesn't re-trigger a full table rebuild every few frames
+        low = mc.compact_low_water * mc.capacity
         radius = mc.local_map_radius
         for _ in range(8):
             self.vm = _compact_jit(
                 self.vm, self.state.pos, jnp.asarray(radius, jnp.float32))
-            if int(self.vm.n_voxels()) <= high:
+            if int(self.vm.n_voxels()) <= low:
                 break
             radius *= 0.7
         return True

@@ -570,8 +570,8 @@ def angle_filter(p0: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray,
     return max_a < jnp.deg2rad(max_angle_deg)
 
 
-def compact_triangles(keep: jnp.ndarray, tris, cap: int
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def compact_triangles(keep: jnp.ndarray, tris, cap: int, payload=None,
+                      payload_bits: int = 6):
     """Per-voxel compaction (A, T) bool → (A, cap) candidate-row ids, mask.
 
     Overflow beyond `cap` kept triangles per voxel is dropped (bounded loss,
@@ -580,17 +580,33 @@ def compact_triangles(keep: jnp.ndarray, tris, cap: int
     Implemented as a top-k selection, NOT a cumsum+scatter: a scatter with
     A·T indices serializes on TPU and dominated the meshing frame time
     (~43 ms/frame at A=64, T=17k); top_k of a rank key is a parallel
-    partial sort and keeps the same first-cap-in-order semantics."""
+    partial sort and keeps the same first-cap-in-order semantics.
+
+    `payload` ((A, T) small non-negative int32, < 2^payload_bits): values
+    carried through the compaction INSIDE the rank key's low bits — the
+    selected rows' payloads come back as a third output with no gather.
+    (A post-hoc payload lookup at the selected rows needs either a generic
+    axis-1 gather — TPU scalar path, ~50 ms/frame at (512, 48²) — or exact
+    one-hot matmuls, measured ~13 ms/frame; the key packing is free.)"""
     A, T = keep.shape
     # kept candidates rank by ascending position (T−i > 0); dropped rank −1
     rank = jnp.where(keep,
                      jnp.int32(T) - jnp.arange(T, dtype=jnp.int32)[None, :],
                      jnp.int32(-1))
+    if payload is not None:
+        assert T < (1 << (30 - payload_bits)), "rank·payload must fit int32"
+        key = jnp.where(keep, (rank << payload_bits) | payload, jnp.int32(-1))
+    else:
+        key = rank
     k = min(cap, T)  # top_k requires k ≤ T (configs with cap > candidates)
-    top_rank, rows = jax.lax.top_k(rank, k)                     # (A, k)
+    top_key, rows = jax.lax.top_k(key, k)                       # (A, k)
     if k < cap:
-        top_rank = jnp.pad(top_rank, ((0, 0), (0, cap - k)),
-                           constant_values=-1)
+        top_key = jnp.pad(top_key, ((0, 0), (0, cap - k)),
+                          constant_values=-1)
         rows = jnp.pad(rows, ((0, 0), (0, cap - k)))
-    rmask = top_rank > 0
-    return jnp.where(rmask, rows, -1), rmask
+    rmask = top_key > 0
+    rows = jnp.where(rmask, rows, -1)
+    if payload is not None:
+        pay = jnp.where(rmask, top_key & ((1 << payload_bits) - 1), 0)
+        return rows, rmask, pay
+    return rows, rmask

@@ -127,6 +127,20 @@ class GlobalPointMap:
         N = pts_world.shape[0]
         k_cells = min(N, cfg.max_pts_per_frame)
 
+        def _trunc(*consume):
+            """DEBUG (cfg.ablate app_*): cut the append pipeline here —
+            returns structurally-valid empty outputs that consume the
+            computed values so XLA cannot DCE the measured prefix."""
+            A_ = cfg.active_voxels_per_frame
+            z = jnp.int32(0)
+            for c in consume:
+                z = z + jnp.sum(c).astype(jnp.int32) * 0
+            gm0 = self.replace(frame_no=self.frame_no + 1 + z)
+            return (gm0, jnp.zeros(A_, jnp.int32) + z,
+                    jnp.zeros(A_, bool),
+                    {k: z for k in
+                     ("cells", "points", "voxels", "slots", "deferred")})
+
         # ---- 0. uniform decimation to ≈max_pts_per_frame -----------------
         # the reference appends every step-th point with step =
         # pts_num / number_of_pts_append_to_map (ImMesh_mesh_reconstruction
@@ -141,7 +155,30 @@ class GlobalPointMap:
 
         # ---- 1. in-frame dedup at the min-spacing grid -------------------
         cell = _grid_coords(pts_world, cfg.pts_minimum_scale, tag=0)
-        _, first, n_cells = frame_unique_coords(cell[:, :3], mask, k_cells)
+        if N > cfg.max_pts_per_frame:
+            # After decimation at most max_pts_per_frame rows are valid, so
+            # the dedup's lexicographic sort need not touch all N rows: an
+            # order-preserving cumsum scatter (O(N) elementwise, no sort)
+            # compacts the surviving rows' ORIGINAL ids into an M0-row
+            # buffer and only that is sorted — 13× fewer rows at the KITTI
+            # bench shape (131,072 → 10,240).  Order preservation keeps the
+            # first-occurrence representative per cell identical: min
+            # compact index ⇔ min original row id.  Overflow is impossible
+            # (the decimation count is ≤ max_pts_per_frame by construction).
+            M0 = min(N, _round_up_int(cfg.max_pts_per_frame, 256))
+            cpos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            ctgt = jnp.where(mask & (cpos < M0), cpos, M0)
+            ids0 = jnp.full(M0, N, jnp.int32).at[ctgt].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop")
+            cvalid = ids0 < N
+            ccell = cell[jnp.minimum(ids0, N - 1), :3]
+            _, firstc, n_cells = frame_unique_coords(ccell, cvalid, k_cells)
+            first = jnp.where(
+                firstc < M0, ids0[jnp.minimum(firstc, M0 - 1)], N)
+        else:
+            _, first, n_cells = frame_unique_coords(cell[:, :3], mask, k_cells)
+        if cfg.ablate == "app_cell0":
+            return _trunc(first, n_cells)
 
         # ---- 2. map-level dedup: find-or-insert into the presence grid ---
         # representative row per distinct cell → hash-insert sees unique keys
@@ -152,6 +189,8 @@ class GlobalPointMap:
         # fresh ⇔ inserted into a previously-empty slot: detect via old key
         was_present = self.dedup.keys[jnp.maximum(slots, 0), 0] != EMPTY
         fresh = cand_ok & (slots >= 0) & ~was_present
+        if cfg.ablate == "app_insert0":
+            return _trunc(slots, fresh, *jax.tree_util.tree_leaves(dedup))
 
         # ---- 3. bump-allocate point ids ----------------------------------
         order = jnp.cumsum(fresh.astype(jnp.int32)) - 1
@@ -167,6 +206,8 @@ class GlobalPointMap:
         pts_sm_store = self.pts_smooth.at[tgt].set(pts_world[ci], mode="drop")
         pt_count = jnp.minimum(self.pt_count + n_new,
                                jnp.asarray(cfg.points_capacity, jnp.int32))
+        if cfg.ablate == "app_alloc0":
+            return _trunc(pts_store, pts_sm_store, pt_count)
 
         # ---- 4. voxel membership: rank-ordered scatter append ------------
         # filing capacity F is independent of (and larger than) the re-mesh
@@ -219,6 +260,9 @@ class GlobalPointMap:
             vox_pt_idx=vox_pt_idx, vox_pts=vox_pts, vox_pts_sm=vox_pts_sm,
             vox_n=vox_n, vox_new=vox_new,
         )
+        if cfg.ablate == "app_file0":
+            return _trunc(*jax.tree_util.tree_leaves(
+                (gm.vox_pt_idx, gm.vox_pts, gm.vox_n, gm.vox_new)))
 
         # ---- 5. active set = pending backlog ∪ occupied neighbors --------
         # every voxel with unmeshed new points (vox_new>0) is pending; the
@@ -241,6 +285,10 @@ class GlobalPointMap:
         gm = gm.replace(frame_no=gm.frame_no + 1)
         active_slots, active_mask, drop_dilate = gm._dilate_active(
             jnp.minimum(psl, V - 1), pmask)
+        if cfg.ablate == "app_active0":
+            return _trunc(active_slots, active_mask, drop_dilate,
+                          *jax.tree_util.tree_leaves(
+                              (gm.vox_pt_idx, gm.vox_n, gm.vox_new)))
         drops = {
             "cells": jnp.maximum(n_cells - k_cells, 0),
             "points": drop_points,
@@ -271,11 +319,36 @@ class GlobalPointMap:
             & (nb_slots >= 0)
         )
         nb_ok = nb_ok & (self.vox_n[jnp.maximum(nb_slots, 0)] >= 3)
-        # dedup slots, keep first A, count the overflow
+        # Dedup slots, then select ≤A SEEDS FIRST.  The old single-pass cap
+        # followed the dedup key's sort order (slot id) — under sustained
+        # backlog a pending seed whose id sorts above its own dilated
+        # neighbors was crowded out of the cap every frame and STARVED (the
+        # round-5 drain-to-zero drive caught the backlog plateauing at
+        # exactly A).  Now every unique slot is tracked (k = 27·A bounds
+        # the uniques exactly), each unique's priority is the MIN over its
+        # candidate rows (0 = it is itself a seed / own-offset candidate),
+        # and a top-k over (priority, unique-rank) picks the A winners —
+        # all seeds retire every pass; neighbor border-refresh degrades
+        # gracefully under overload instead of blocking the queue.
+        nrows = nb_slots.shape[0]                      # = 27·A
+        prio = jnp.broadcast_to(
+            (jnp.arange(27, dtype=jnp.int32)
+             != jnp.asarray(_OWN_OFFSET_IDX, jnp.int32))[None, :],
+            (A, 27)).reshape(-1).astype(jnp.int32)
         seg, first, n_uniq = frame_unique_coords(
-            jnp.where(nb_ok, nb_slots, 0)[:, None], nb_ok, A)
-        ok = first < nb_slots.shape[0]
-        slots = nb_slots[jnp.minimum(first, nb_slots.shape[0] - 1)]
+            jnp.where(nb_ok, nb_slots, 0)[:, None], nb_ok, nrows)
+        prio_u = jnp.full(nrows + 1, 2, jnp.int32).at[
+            jnp.where(nb_ok, seg, nrows)].min(prio, mode="drop")[:nrows]
+        uvalid = first < nrows
+        slot_u = nb_slots[jnp.minimum(first, nrows - 1)]
+        big = jnp.int32(0x3FFFFFFF)
+        sel_key = jnp.where(
+            uvalid,
+            prio_u * jnp.int32(nrows) + jnp.arange(nrows, dtype=jnp.int32),
+            big)
+        _, pick = jax.lax.top_k(-sel_key, A)
+        ok = sel_key[pick] < big
+        slots = slot_u[pick]
         return (jnp.where(ok, slots, self.vox_n.shape[0] - 1), ok,
                 jnp.maximum(n_uniq - A, 0))
 
@@ -321,10 +394,12 @@ class GlobalPointMap:
         is_own = (jnp.arange(27) == own)[None, :, None]
         in_r = d <= r
         usable = cand_ok & (is_own | in_r)
-        # sort key: own-first then by distance
+        # sort key: own-first then by distance; top_k picks the K best lanes
+        # directly — a full (A, 27·S) argsort materializes and sorts 18×
+        # more lanes than survive the cut (864 vs K=48 at bench shapes)
         key = jnp.where(usable, jnp.where(is_own, d - 1e3, d), jnp.inf)
         flat_key = key.reshape(A, 27 * S)
-        order = jnp.argsort(flat_key, axis=-1)[:, :K]         # (A, K)
+        _, order = jax.lax.top_k(-flat_key, K)                # (A, K)
         g_idx = jnp.take_along_axis(cand_idx.reshape(A, -1), order, axis=-1)
         g_ok = jnp.take_along_axis(usable.reshape(A, -1), order, axis=-1)
         g_ok = g_ok & smask[:, None]
@@ -507,6 +582,10 @@ class GlobalPointMap:
 
 
 # ----------------------------------------------------------------------
+def _round_up_int(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:

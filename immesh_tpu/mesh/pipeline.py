@@ -118,13 +118,17 @@ class MeshPipeline:
             return False
         self._occ_pending = None  # state changes below invalidate the poll
         self.n_compactions += 1
+        # hysteresis: target the LOW water mark (growth headroom so a dense
+        # map doesn't re-trigger a rebuild every few frames)
+        low_p = mc.compact_low_water * mc.points_capacity
+        low_v = mc.compact_low_water * mc.voxel_capacity
         radius = mc.local_map_radius
         for _ in range(8):
             self.gm, self.store = _compact_mesh_jit(
                 self.gm, self.store, jnp.asarray(sensor_pos),
                 jnp.asarray(radius, jnp.float32))
-            if (int(self.gm.n_points()) <= high_p
-                    and int(self.gm.vox.occupancy()) <= high_v):
+            if (int(self.gm.n_points()) <= low_p
+                    and int(self.gm.vox.occupancy()) <= low_v):
                 break
             radius *= 0.7
         return True

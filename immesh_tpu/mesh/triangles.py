@@ -213,31 +213,25 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             return jax.tree_util.tree_map(
                 lambda z: z + s.astype(z.dtype), _zeros(a))
 
-        rows, rmask = compact_triangles(keep, None, C2)       # (a, C2)
+        # the third-vertex index W[i,j] rides through the compaction inside
+        # the top-k key's low bits (compact_triangles payload) — replacing
+        # the two exact one-hot matmul lookups used previously, which the
+        # r5 ablation measured at ~13 ms/frame at (1024, 48²) bench shapes
+        pbits = max(6, (K - 1).bit_length())
+        rows, rmask, t2 = compact_triangles(
+            keep, None, C2,
+            payload=jnp.maximum(W, 0).reshape(a, K * K).astype(jnp.int32),
+            payload_bits=pbits)                               # (a, C2) ×3
         if cfg.ablate == "compact0":
             s = (jnp.sum(rows) + jnp.sum(rmask.astype(jnp.int32))) * 0
             return jax.tree_util.tree_map(
                 lambda z: z + s.astype(z.dtype), _zeros(a))
         drop1 = jnp.sum(jnp.maximum(
             jnp.sum(keep.astype(jnp.int32), axis=-1) - C2, 0))
-        # reconstruct vertex triples arithmetically from the flat pair id —
-        # gathering a materialized (a, K², 3) triple tensor measured ~64 ms
-        # per frame at (512, 48): the generic axis-1 gather from the K² axis
-        # runs on the TPU scalar path, while i/j come for free as div/mod
+        # i/j come for free as div/mod of the flat pair id
         rowc = jnp.maximum(rows, 0)
         t0 = rowc // K
         t1 = rowc - t0 * K
-        # W[a, i, j] lookup as two exact one-hot matmuls: a take_along_axis
-        # from the K²-length axis lowers to the TPU scalar gather path
-        # (~50 ms/frame at (512, 48²) — measured), while (C2, K)·(K, K)
-        # MXU contractions are effectively free; W entries are small ints,
-        # exact in f32, and the one-hot rows have exactly one nonzero
-        ar = jnp.arange(K, dtype=jnp.int32)
-        oh0 = (t0[..., None] == ar).astype(pts_c.dtype)       # (a, C2, K)
-        oh1 = (t1[..., None] == ar).astype(pts_c.dtype)
-        Wrow = jnp.einsum("ack,akj->acj", oh0,
-                          jnp.maximum(W, 0).astype(pts_c.dtype))
-        t2 = jnp.einsum("ack,ack->ac", oh1, Wrow).astype(jnp.int32)
         if cfg.ablate == "fake_tri3":
             t2 = (t0 + t1) % K
         tri3 = jnp.stack([t0, t1, t2], axis=-1)               # (a, C2, 3)
@@ -249,6 +243,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         # vertex positions/ids via one-hot contractions (exact: one nonzero
         # per row, ids < 2²⁴) — take_along_axis from the K axis measured
         # ~1.5 ms per gather here (TPU scalar path), the einsums are ~µs
+        ar = jnp.arange(K, dtype=jnp.int32)
         oh3 = (tri3[..., None] == ar).astype(pts_c.dtype)     # (a, C2, 3, K)
         v012 = jnp.einsum("actk,akd->actd", oh3, pts_c)       # (a, C2, 3, 3)
         v0, v1, v2 = v012[:, :, 0], v012[:, :, 1], v012[:, :, 2]

@@ -46,20 +46,45 @@ class JointPipeline:
     """Host wrapper for the fused step — drop-in for LioPipeline+MeshPipeline
     when per-stage host timing isn't needed (bench, headless runs)."""
 
-    def __init__(self, cfg: ImMeshConfig):
+    def __init__(self, cfg: ImMeshConfig, adaptive_mesh_budget: int = 0):
         self.cfg = cfg
         self.lio = LioPipeline(cfg)      # owns state + voxel map
         self.mesh = MeshPipeline(cfg)    # owns global map + triangle store
         self.frame_idx = 0
+        # Adaptive re-mesh budget (the reference's analogue is its frame
+        # queue absorbing bursts, ImMesh_mesh_reconstruction.cpp:272-310):
+        # when > cfg.mesh.active_voxels_per_frame, a SECOND compiled variant
+        # of the joint program with this larger budget is used on frames
+        # where the previous frame left a re-mesh backlog — spending the
+        # LIO/mesh headroom to keep the pending queue near zero instead of
+        # letting frontier bursts accumulate.  Both variants consume the
+        # same pytrees (the budget only sizes program-internal work lists),
+        # so switching per frame is free apart from the one-time compile.
+        self._cfg_hi = None
+        if adaptive_mesh_budget > cfg.mesh.active_voxels_per_frame:
+            import dataclasses
+            self._cfg_hi = cfg.replace(mesh=dataclasses.replace(
+                cfg.mesh, active_voxels_per_frame=adaptive_mesh_budget))
+        self._backlog_prev = None   # in-flight async copy of drop_deferred
 
     def static_init(self, acc, gyr) -> None:
         self.lio.static_init(acc, gyr)
 
     def step(self, bundle: ScanBundle):
+        cfg = self.cfg
+        if self._cfg_hi is not None and self._backlog_prev is not None \
+                and int(self._backlog_prev) > 0:
+            cfg = self._cfg_hi
         (self.lio.state, self.lio.vm, self.mesh.gm, self.mesh.store,
          world_scan, slots, smask, diag) = joint_step(
             self.lio.state, self.lio.vm, self.mesh.gm, self.mesh.store,
-            bundle, self.cfg)
+            bundle, cfg)
+        if self._cfg_hi is not None:
+            # one-frame-delayed async backlog poll (same pattern as the
+            # occupancy polls): the decision tolerates one frame of staleness
+            d = diag["drop_deferred"] + 0
+            d.copy_to_host_async()
+            self._backlog_prev = d
         self.mesh.last_active = (slots, smask)
         self.frame_idx += 1
         self.lio.frame_idx = self.mesh.frame_idx = self.frame_idx

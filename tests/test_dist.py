@@ -169,7 +169,7 @@ class TestShardedMesh:
         for k, shift in enumerate([0.0, 0.25]):  # frame 2 = incremental remesh
             pts, mask = self._cloud(k, shift)
             ref.step(pts, mask, np.asarray(sensor))
-            smm, n_active, n_tris = step(
+            smm, n_active, n_tris, _ = step(
                 smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
 
         t_ref = int(ref.store.n_triangles())
@@ -202,9 +202,91 @@ class TestShardedMesh:
 
         smm = create_sharded_mesh(mesh8, cfg, slab_voxels=1)
         step = make_sharded_mesh_step(mesh8, cfg)
-        smm, _, _ = step(smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
+        smm, _, _, _ = step(smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
 
         per_shard = np.asarray(smm.gm.pt_count)
         assert per_shard.max() < 0.8 * n_single, (per_shard, n_single)
         # halo duplication is bounded: ~(owned + 4 halo columns) per shard
         assert per_shard.sum() < 6 * n_single
+
+
+class TestPrePartitionedAppend:
+    """The dedup pre-partition (dist/mesh.py:_sharded_mesh_body): when the
+    expected keep fraction × margin < 1, the gathered scan is compacted to
+    owned+halo rows BEFORE the in-frame dedup sort and the per-frame budgets
+    scale with it — triangle content must still match the single-device
+    pipeline exactly, and overflow must be counted, not silent."""
+
+    def _strip(self, seed=0, x_len=25.6, n_y=10):
+        """A long thin strip spanning all 8 shards' slabs (slab_voxels=8 ×
+        0.4 m × 8 shards = 25.6 m in x) so ownership is spread uniformly."""
+        rng = np.random.default_rng(seed)
+        gx = np.arange(0.06, x_len, 0.12, dtype=np.float32)
+        gy = np.arange(0.06, n_y * 0.12, 0.12, dtype=np.float32)
+        X, Y = np.meshgrid(gx, gy)
+        jit2 = 0.01 * rng.standard_normal((X.size, 2)).astype(np.float32)
+        pts = np.stack([
+            X.ravel() + jit2[:, 0], Y.ravel() + jit2[:, 1],
+            0.005 * rng.standard_normal(X.size).astype(np.float32)], -1)
+        n = len(pts)
+        pad = (-n) % N_DEV
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+        return pts, mask
+
+    def test_compact_path_matches_single_device(self, mesh8):
+        from immesh_tpu.dist.mesh import (
+            create_sharded_mesh, gather_mesh, make_sharded_mesh_step,
+            shard_keep_fraction)
+        from immesh_tpu.mesh.pipeline import MeshPipeline
+
+        # keep fraction (8+4)/(8·8) = 0.1875; ×1.5 margin < 1 ⇒ the
+        # compacted-append branch (M < N) is the one under test
+        assert shard_keep_fraction(8, N_DEV) * 1.5 < 1.0
+
+        cfg = PRESETS["sim"]()
+        sensor = jnp.asarray([12.0, 0.5, 2.0], jnp.float32)
+        ref = MeshPipeline(cfg)
+        smm = create_sharded_mesh(mesh8, cfg, slab_voxels=8)
+        step = make_sharded_mesh_step(mesh8, cfg)
+
+        for k in range(2):  # frame 2 = incremental remesh across slabs
+            pts, mask = self._strip(k)
+            ref.step(pts, mask, np.asarray(sensor))
+            smm, n_active, n_tris, n_drop = step(
+                smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
+
+        assert int(n_drop) == 0, "uniform strip must not overflow the buffer"
+        assert int(n_tris) == int(ref.store.n_triangles())
+        g = gather_mesh(smm)
+        ref_tris = np.asarray(ref.store.tri_ids).reshape(-1, 3)
+        ref_tris = ref_tris[np.all(ref_tris >= 0, axis=1)]
+        s_ref = TestShardedMesh._tri_pos_set(np.asarray(ref.gm.pts), ref_tris)
+        s_sh = TestShardedMesh._tri_pos_set(g["pts"], g["tris"])
+        assert s_sh == s_ref, (len(s_sh - s_ref), len(s_ref - s_sh))
+
+        # the pre-partition must actually shrink per-chip storage: every
+        # shard holds ≈ its owned+halo share, not the full map
+        per_shard = np.asarray(smm.gm.pt_count)
+        assert per_shard.max() < 0.5 * int(ref.gm.pt_count)
+
+    def test_overflow_is_counted(self, mesh8):
+        """A frame concentrated inside ONE chip's slab exceeds the margin-
+        sized buffer; the excess rows must surface in n_part_drops."""
+        from immesh_tpu.dist.mesh import (
+            create_sharded_mesh, make_sharded_mesh_step)
+
+        cfg = PRESETS["sim"]()
+        sensor = jnp.asarray([1.6, 0.5, 2.0], jnp.float32)
+        smm = create_sharded_mesh(mesh8, cfg, slab_voxels=8)
+        step = make_sharded_mesh_step(mesh8, cfg)
+        # 4096 points all inside slab 0 (+ its halo): chip 0 keeps ~all of
+        # them, far beyond its margin-sized buffer M ≈ 0.28·N
+        rng = np.random.default_rng(0)
+        pts = np.stack([
+            rng.uniform(0.0, 3.1, 4096), rng.uniform(0.0, 2.0, 4096),
+            rng.normal(0, 0.005, 4096)], -1).astype(np.float32)
+        mask = np.ones(4096, bool)
+        smm, _, _, n_drop = step(
+            smm, jnp.asarray(pts), jnp.asarray(mask), sensor)
+        assert int(n_drop) > 0

@@ -194,3 +194,39 @@ class TestPullTimeSmoothing:
         dev_sm = normal_dev(np.asarray(mp_sm.gm.pts_smooth), tri_sm)
         print(f"normal dev raw {dev_raw:.2f}° smoothed {dev_sm:.2f}°")
         assert dev_sm < 0.5 * dev_raw, (dev_raw, dev_sm)
+
+
+class TestOracleBoundary:
+    """Watertightness oracle (VERDICT r4 item 7): the reference geometry
+    (PCA project → exact Delaunay → sliver filter, scipy standing in for
+    CGAL) over the same pulled neighborhoods, as a baseline for the store's
+    boundary-edge fraction."""
+
+    def test_oracle_vs_store_on_flat_grid(self):
+        import numpy as np
+        from immesh_tpu.config import PRESETS
+        from immesh_tpu.eval.mesh_quality import (
+            hole_stats, oracle_mesh_from_map, store_faces)
+        from immesh_tpu.mesh.pipeline import MeshPipeline
+
+        rng = np.random.default_rng(0)
+        g = np.arange(-1.4, 1.4, 0.11, dtype=np.float32)
+        X, Y = np.meshgrid(g, g)
+        pts = np.stack([X.ravel(), Y.ravel(),
+                        0.003 * rng.standard_normal(X.size).astype(np.float32)],
+                       -1)
+        mesh = MeshPipeline(PRESETS["sim"]())
+        mesh.step(pts, np.ones(len(pts), bool), np.array([0, 0, 2.0]))
+        import jax
+        jax.block_until_ready(mesh.store.tri_n)
+
+        faces_o = oracle_mesh_from_map(mesh.gm)
+        assert len(faces_o) > 50
+        hs_o = hole_stats(faces_o)
+        hs_s = hole_stats(store_faces(mesh.store))
+        # a flat grid's only boundary edges are its perimeter; both the
+        # kernel mesh and the oracle must be near-watertight inside, so the
+        # fractions must be small and comparable
+        assert hs_s["boundary_fraction"] < 0.35
+        assert hs_o["boundary_fraction"] < 0.35
+        assert abs(hs_s["boundary_fraction"] - hs_o["boundary_fraction"]) < 0.2

