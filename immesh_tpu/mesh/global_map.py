@@ -130,11 +130,18 @@ class GlobalPointMap:
         def _trunc(*consume):
             """DEBUG (cfg.ablate app_*): cut the append pipeline here —
             returns structurally-valid empty outputs that consume the
-            computed values so XLA cannot DCE the measured prefix."""
+            computed values so XLA cannot DCE the measured prefix.
+
+            Anti-DCE must go through f32: an INT ×0 is folded to 0 by XLA's
+            algebraic simplifier (which silently deleted the measured
+            prefix in the first round-5 sweep — every app_* variant
+            measured the same DCE'd program); f32 ×0.0 survives because the
+            simplifier must preserve NaN/Inf semantics."""
             A_ = cfg.active_voxels_per_frame
-            z = jnp.int32(0)
+            s = jnp.float32(0.0)
             for c in consume:
-                z = z + jnp.sum(c).astype(jnp.int32) * 0
+                s = s + jnp.sum(c).astype(jnp.float32)
+            z = (s * jnp.float32(0.0)).astype(jnp.int32)
             gm0 = self.replace(frame_no=self.frame_no + 1 + z)
             return (gm0, jnp.zeros(A_, jnp.int32) + z,
                     jnp.zeros(A_, bool),

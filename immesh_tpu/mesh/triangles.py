@@ -53,6 +53,21 @@ def _pos_hash(pts: jnp.ndarray) -> jnp.ndarray:
             ^ b[..., 2] * jnp.int32(374761393))
 
 
+def _consumed(zeros_tree, *xs):
+    """DEBUG anti-DCE for cfg.ablate truncations: fold a runtime f32 zero
+    that data-depends on every measured intermediate into the dummy
+    outputs.  Must go through f32 — XLA's algebraic simplifier folds an
+    INT ×0 to a constant and silently deletes the measured prefix (this
+    bug made several round-4/5 ablation variants measure an empty
+    program); f32 ×0.0 survives because NaN/Inf semantics must be
+    preserved."""
+    s = jnp.float32(0.0)
+    for x in xs:
+        s = s + jnp.sum(x).astype(jnp.float32)
+    s = s * jnp.float32(0.0)
+    return jax.tree_util.tree_map(lambda z: z + s.astype(z.dtype), zeros_tree)
+
+
 @struct.dataclass
 class TriangleStore:
     tri_ids: jnp.ndarray   # (V, C, 3) int32 global point ids, winding order; -1 pad
@@ -192,8 +207,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
     def _chunk_impl(pts_c, sm_c, pmask_c, gidx_c, key_c):
         a = pts_c.shape[0]
         if cfg.ablate == "pull0":
-            return jax.tree_util.tree_map(
-                lambda z: z + jnp.sum(pts_c).astype(z.dtype) * 0, _zeros(a))
+            return _consumed(_zeros(a), pts_c, pmask_c)
         K = pts_c.shape[1]
         uv, _, _ = pca_project(sm_c, pmask_c)
         phash = _pos_hash(pts_c)                              # (a, K)
@@ -203,15 +217,12 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
                                   uv[..., 0] ** 2 + uv[..., 1] ** 2,
                                   uv[..., 0] ** 2 + uv[..., 1] ** 2,
                                   pmask_c, jnp.full(a, 1e-6, jnp.float32))
-            return jax.tree_util.tree_map(
-                lambda z: z + jnp.sum(W).astype(z.dtype) * 0, _zeros(a))
+            return _consumed(_zeros(a), W)
         W, emit = delaunay_pairs_w(uv, pmask_c, tiebreak=phash,
                                    tie_scale=cfg.tie_scale)   # (a,K,K) ×2
         keep = emit.reshape(a, K * K)
         if cfg.ablate == "pairs0":
-            s = (jnp.sum(keep.astype(jnp.int32)) + jnp.sum(W)) * 0
-            return jax.tree_util.tree_map(
-                lambda z: z + s.astype(z.dtype), _zeros(a))
+            return _consumed(_zeros(a), keep, W)
 
         # the third-vertex index W[i,j] rides through the compaction inside
         # the top-k key's low bits (compact_triangles payload) — replacing
@@ -223,9 +234,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             payload=jnp.maximum(W, 0).reshape(a, K * K).astype(jnp.int32),
             payload_bits=pbits)                               # (a, C2) ×3
         if cfg.ablate == "compact0":
-            s = (jnp.sum(rows) + jnp.sum(rmask.astype(jnp.int32))) * 0
-            return jax.tree_util.tree_map(
-                lambda z: z + s.astype(z.dtype), _zeros(a))
+            return _consumed(_zeros(a), rows, rmask, t2)
         drop1 = jnp.sum(jnp.maximum(
             jnp.sum(keep.astype(jnp.int32), axis=-1) - C2, 0))
         # i/j come for free as div/mod of the flat pair id
@@ -236,9 +245,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
             t2 = (t0 + t1) % K
         tri3 = jnp.stack([t0, t1, t2], axis=-1)               # (a, C2, 3)
         if cfg.ablate == "tri30":
-            s = jnp.sum(tri3).astype(jnp.float32) * 0
-            return jax.tree_util.tree_map(
-                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
+            return _consumed(_zeros(pts_c.shape[0]), tri3)
 
         # vertex positions/ids via one-hot contractions (exact: one nonzero
         # per row, ids < 2²⁴) — take_along_axis from the K axis measured
@@ -255,10 +262,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
 
         keep2 = rmask & angle_filter(v0, v1, v2, cfg.max_tri_angle_deg)
         if cfg.ablate == "gather0":
-            s = (jnp.sum(v0) + jnp.sum(i0 + i1 + i2).astype(jnp.float32)
-                 + jnp.sum(keep2.astype(jnp.int32)).astype(jnp.float32)) * 0
-            return jax.tree_util.tree_map(
-                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
+            return _consumed(_zeros(pts_c.shape[0]), v0, i0, i1, i2, keep2)
         if cfg.max_edge_scale > 0:
             emax = cfg.max_edge_scale * cfg.pts_minimum_scale
             keep2 = keep2 & (
@@ -305,10 +309,7 @@ def triangulate_voxels(gm: GlobalPointMap, slots: jnp.ndarray,
         cen_key = jnp.floor(cen / res).astype(jnp.int32)      # (a, C2, 3)
         keep2 = keep2 & jnp.all(cen_key == key_c[:, None, :], axis=-1)
         if cfg.ablate == "sort30":
-            s = (jnp.sum(s0 + s1 + s2).astype(jnp.float32) + jnp.sum(q0)
-                 + jnp.sum(keep2.astype(jnp.int32)).astype(jnp.float32)) * 0
-            return jax.tree_util.tree_map(
-                lambda z: z + s.astype(z.dtype), _zeros(pts_c.shape[0]))
+            return _consumed(_zeros(pts_c.shape[0]), s0, s1, s2, q0, keep2)
 
         rows2, rmask2 = compact_triangles(keep2, tri3, C)     # (a, C) → C2 rows
         drop2 = jnp.sum(jnp.maximum(

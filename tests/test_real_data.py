@@ -4,8 +4,14 @@ pipeline → TUM trace → eval/ate — the round-2 conversion of "works on the
 simulator" into "works on ImMesh's actual workloads" (VERDICT.md items 1/3).
 
 The reference verifies these paths operationally by replaying rosbags/KITTI
-(reference README.md:85-134); with no datasets in the image, the simulator
-synthesizes bit-faithful KITTI .bin files instead.
+(reference README.md:85-134).  THIS ENVIRONMENT HAS NO NETWORK EGRESS AND
+SHIPS NO CAPTURED SENSOR DATA — no .bag/.bin/.pcap exists anywhere on disk,
+including the reference mirror — so genuinely-captured bytes cannot be
+replayed here.  The simulator therefore synthesizes bit-faithful KITTI .bin
+files for the end-to-end replay, and tests/test_wire_formats.py adds the
+complementary evidence for the byte level: literal struct-offset fixtures
+plus a byte-level differential check of every LAYOUTS entry against a
+second independently-written decoder.
 """
 
 import os

