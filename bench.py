@@ -210,6 +210,10 @@ def kitti_config():
             # re-mesh budget is topped up adaptively (JointPipeline
             # adaptive_mesh_budget) whenever a backlog is pending
             active_voxels_per_frame=1024,
+            # 512-voxel kernel chunks: 2 launches instead of 16 per frame
+            # (the r5 ablation measured the chunked pairs kernel at 9.5 ms,
+            # ~2 ms of which is launch overhead at chunk=64)
+            mesh_chunk=512,
         ),
     )
 

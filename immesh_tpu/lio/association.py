@@ -20,43 +20,32 @@ from typing import Dict
 import jax.numpy as jnp
 
 from immesh_tpu.config import VoxelMapConfig
-from immesh_tpu.core import so3
-from immesh_tpu.core.geometry import point_to_plane_sigma2
 from immesh_tpu.core.state import EsikfState
 from immesh_tpu.map.voxel_map import VoxelMap, _sym_unpack
 
 
 def _lookup_with_neighbors(vm: VoxelMap, q_world: jnp.ndarray):
-    """Plane lookup at the point's voxel, falling back to the face neighbor
-    toward which the point leans (reference voxel_mapping.cpp:192-222 probes
-    the near voxel when the own voxel has no plane).
+    """Plane lookup at the point's voxel, falling back to the reference's
+    single near-voxel probe: shift ONE voxel on every axis where the point
+    lies in the voxel's outer quarter (|offset from center| > quarter
+    length — reference BuildResidualListOMP, voxel_mapping.cpp:192-222,
+    which probes exactly one `near_position` when the own voxel fails).
 
-    All four probe positions (own + 3 lean-ordered neighbors) × all levels
-    run as ONE batched hash lookup (vm.lookup_planes_stack): each separate
-    lookup while_loop costs ~0.1-0.2 ms of fixed on-device overhead, and 16
-    loops × 3 ESIKF iterations dominated the whole update (~11 ms/frame at
-    KITTI scan sizes).  Selection priority is unchanged: own voxel first,
-    then neighbors by descending |lean|."""
-    n = q_world.shape[0]
+    Both probe positions × all levels run as ONE batched hash lookup
+    (vm.lookup_planes_stack): each separate lookup while_loop costs
+    ~0.1-0.2 ms of fixed on-device overhead.  Earlier rounds probed 3
+    lean-ordered face neighbors (4 probes total) — twice the reference's
+    probe count and ~2 ms/iteration of extra lookup lanes at KITTI scan
+    sizes for marginal extra recall; this matches the reference exactly."""
     size = vm.cfg.voxel_size
     frac = q_world / size - jnp.floor(q_world / size) - 0.5  # ∈ [-0.5, 0.5)
-    order = jnp.argsort(-jnp.abs(frac), axis=-1)
-    probes = [q_world]
-    for rank in range(3):
-        axis_idx = order[:, rank]
-        shift = jnp.sign(frac[jnp.arange(n), axis_idx])
-        offset = jnp.zeros_like(q_world)
-        offset = offset.at[jnp.arange(n), axis_idx].set(shift * size)
-        probes.append(q_world + offset)
-
-    found_s, slot_s = vm.lookup_planes_stack(jnp.stack(probes, axis=0))
-    found = found_s[0]
-    slot = slot_s[0]
-    for rank in range(3):
-        take = ~found & found_s[rank + 1]
-        slot = jnp.where(take, slot_s[rank + 1], slot)
-        found = found | take
-    return found, slot
+    shift = jnp.where(jnp.abs(frac) > 0.25,
+                      jnp.sign(frac), 0.0) * size
+    probes = jnp.stack([q_world, q_world + shift], axis=0)
+    found_s, slot_s = vm.lookup_planes_stack(probes)
+    take = ~found_s[0] & found_s[1]
+    slot = jnp.where(take, slot_s[1], slot_s[0])
+    return found_s[0] | take, slot
 
 
 def associate(state: EsikfState, vm: VoxelMap, pts_body: jnp.ndarray,
@@ -79,17 +68,23 @@ def associate(state: EsikfState, vm: VoxelMap, pts_body: jnp.ndarray,
 
     z = jnp.sum(normal * q_world, axis=-1) + d
 
-    # world-frame point covariance: R Σ_body Rᵀ
-    cov_w = jnp.einsum("ij,njk,lk->nil", state.rot, point_cov_body, state.rot)
-    sigma2 = point_to_plane_sigma2(q_world, cov_w, normal, center, cov_nn, var_c)
-    sigma2 = jnp.maximum(sigma2, 1e-9)
+    # body-frame normal m = Rᵀn (per row): both the measurement-noise
+    # quadratic and the rotation Jacobian collapse onto it —
+    #   nᵀ (R Σ_b Rᵀ) n = mᵀ Σ_b m        (no (N,3,3) world-cov tensor)
+    #   −nᵀ R [p]×      = −(m × p)ᵀ       (no (N,3,3) hat tensor)
+    # the former einsum chain materialized two (N,3,3) intermediates whose
+    # 3×3 trailing dims tile terribly on TPU lanes
+    m = normal @ state.rot
+    qc = q_world - center
+    s_plane = jnp.einsum("ni,nij,nj->n", qc, cov_nn, qc) + var_c
+    s_point = jnp.einsum("ni,nij,nj->n", m, point_cov_body, m)
+    sigma2 = jnp.maximum(s_plane + s_point, 1e-9)
 
     gate = jnp.abs(z) < cfg.sigma_num * jnp.sqrt(sigma2)
     valid = mask & found & gate
 
-    # H row: ∂z/∂δθ = -nᵀ R [p_body]× (right perturbation), ∂z/∂δp = nᵀ
-    Rp_hat = so3.hat(pts_body)                      # (N,3,3)
-    h_rot = -jnp.einsum("ni,ij,njk->nk", normal, state.rot, Rp_hat)
+    # H row: ∂z/∂δθ = -nᵀ R [p_body]× = -(m × p)ᵀ, ∂z/∂δp = nᵀ
+    h_rot = -jnp.cross(m, pts_body)
     h6 = jnp.concatenate([h_rot, normal], axis=-1)
 
     return {

@@ -48,8 +48,17 @@ def lio_update(state_prop: EsikfState, vm: VoxelMap, pts_body: jnp.ndarray,
     rot_thresh = jnp.asarray(lio_cfg.converge_rot_deg * jnp.pi / 180.0, dtype)
     trans_thresh = jnp.asarray(lio_cfg.converge_trans_m, dtype)
 
-    def body(_, carry):
-        state, converged, n_eff, A_last = carry
+    def cond(carry):
+        # early device exit on convergence — the former fori_loop masked
+        # converged iterations to no-ops but still PAID their association
+        # (the single most expensive per-iteration op, ~4-5 ms at KITTI
+        # scale); a while_loop with the same convergence predicate computes
+        # the identical posterior and skips the dead work
+        it, state, converged, n_eff, A_last = carry
+        return (it < lio_cfg.max_iterations) & ~converged
+
+    def body(carry):
+        it, state, converged, n_eff, A_last = carry
 
         assoc = associate(state, vm, pts_body, point_cov_body, mask, map_cfg)
         h6, z, r_inv = assoc["h6"], assoc["z"], assoc["r_inv"]
@@ -64,29 +73,21 @@ def lio_update(state_prop: EsikfState, vm: VoxelMap, pts_body: jnp.ndarray,
         delta = jax.lax.linalg.cholesky(A + jnp.eye(STATE_DIM, dtype=dtype) * 1e-9)
         delta = jax.scipy.linalg.cho_solve((delta, True), b)
 
-        new_state = state.boxplus(delta)
+        state = state.boxplus(delta)
         # convergence on the pose increment (reference :1619-1622)
         step_rot = jnp.linalg.norm(delta[0:3])
         step_trans = jnp.linalg.norm(delta[3:6])
         now_conv = (step_rot < rot_thresh) & (step_trans < trans_thresh)
-
-        # masked no-op once converged
-        state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(converged, old, new), new_state, state
-        )
-        A_last = jnp.where(converged, A_last, A)
-        n_eff = jnp.where(converged, n_eff, jnp.sum(assoc["valid"]))
-        return state, converged | now_conv, n_eff, A_last
+        return (it + 1, state, now_conv, jnp.sum(assoc["valid"]), A)
 
     init = (
+        jnp.asarray(0, jnp.int32),
         state_prop,
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         p_inv,  # if zero matches, posterior = prior
     )
-    state, converged, n_eff, A_last = jax.lax.fori_loop(
-        0, lio_cfg.max_iterations, body, init
-    )
+    _, state, converged, n_eff, A_last = jax.lax.while_loop(cond, body, init)
 
     # posterior covariance P⁺ = A⁻¹ (= (I−KH)P in gain form)
     cov_post = jnp.linalg.inv(A_last + jnp.eye(STATE_DIM, dtype=dtype) * 1e-9)

@@ -209,8 +209,18 @@ def deskew_const_twist(pts: jnp.ndarray, t_rel: jnp.ndarray,
     """
     T = jnp.maximum(scan_duration, 1e-6)
     alpha = jnp.clip((t_rel / T), 0.0, 1.0)[:, None] - 1.0  # ∈ [-1, 0]
-    R_rel = so3.exp(alpha * rel_rot_vec[None, :])
-    return jnp.einsum("nij,nj->ni", R_rel, pts) + alpha * rel_trans[None, :]
+    # Rodrigues applied directly to the point vectors — materializing the
+    # per-point (N, 3, 3) rotation and batch-matvec'ing it wastes ~97 % of
+    # every TPU lane tile on the 3×3 trailing dims; the vector form is the
+    # same exp(α·ω)·p to rounding
+    rv = alpha * rel_rot_vec[None, :]
+    th = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    k = rv / jnp.maximum(th, 1e-12)            # th→0 ⇒ k→0 ⇒ identity, exact
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    rot = (pts * c + jnp.cross(k, pts) * s
+           + k * jnp.sum(k * pts, axis=-1, keepdims=True) * (1.0 - c))
+    return rot + alpha * rel_trans[None, :]
 
 
 def static_init(acc: jnp.ndarray, gyr: jnp.ndarray, cfg: ImuConfig,

@@ -109,11 +109,21 @@ class VoxelMap:
             # points whose parent voxel spilled also feed its octants; the
             # mask accumulates so level ℓ only sees points whose FULL parent
             # chain is subdivided (reference cut_octo_tree recursion,
-            # voxel_loc.cpp:161-217)
+            # voxel_loc.cpp:161-217).  The level update itself runs under a
+            # lax.cond: scans dominated by planar geometry spill few or no
+            # voxels, and skipping the empty refinement levels removes their
+            # full dedup/insert/refit pipelines from the frame (~4-5 ms/level
+            # at KITTI bench shapes with max_layers=4) — an all-false mask
+            # makes _update_level a pure no-op, so the skip is exact.
             cprev = voxel_coords(pts_world, self.cfg.voxel_size, lvl - 1)
             parent = vm.table.lookup(cprev)
             m = m & jnp.where(parent >= 0, vm.subdivided[parent], False)
-            vm = vm._update_level(pts_world, point_sigma2, m, lvl, max_voxels)
+            vm = jax.lax.cond(
+                jnp.any(m),
+                lambda vm_, m_=m, lvl_=lvl: vm_._update_level(
+                    pts_world, point_sigma2, m_, lvl_, max_voxels),
+                lambda vm_: vm_,
+                vm)
         return vm
 
     def scan_aggregates(self, pts, sigma2, mask, level: int, max_voxels: int):

@@ -291,11 +291,19 @@ def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
 
     For every directed pair (i, j) find k* = argmin_k of the lifted-plane
     slope ratio Np/d over points strictly left of i→j (see delaunay_pairs).
-    The O(K³) sweep is a fori over k: each iteration needs only LANE vectors
-    (row copies of u, v, lift) and SCALARS (u[k], v[k], … from SMEM), so no
-    (K,K,K) tensor ever exists — the XLA broadcast formulation materialized
-    several of them in HBM with 48→128 lane padding and measured ~76 ms at
-    (512, 48); this kernel is pure VPU work on (K, 128) tiles.
+    No (K,K,K) tensor ever exists — the XLA broadcast formulation
+    materialized several in HBM with 48→128 lane padding and measured
+    ~76 ms at (512, 48).
+
+    Layout (round-5 rewrite): ONE fori over the edge tail i; each iteration
+    builds (Kp8, Kp) tiles with k on SUBLANES and j on LANES from
+    outer-product broadcasts of (col ⊗ row) vectors, then reduces the
+    argmin over the sublane (k) axis — a (1, Kp) row written straight to
+    W[v, i, :].  vs the previous i-block × k-scalar sweep this issues ~25 %
+    fewer vector ops and 6× fewer SMEM scalar loads (48 iterations × 6
+    scalars instead of 288 × 5), and `pl.when` skips the padded/invalid i
+    rows entirely (typical voxels fill ~½ of pull_capacity); measured
+    9.5 ms → see BENCH_DETAIL for the post-rewrite number.
 
     Eight voxels per grid step: with one voxel per step the launch/stream
     overhead of ~500 sequential grid iterations dominated the whole meshing
@@ -310,7 +318,9 @@ def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (Kp8, Kp), 1)
     eye = rows == cols
+    kio = rows                           # sublane index = k
     big = jnp.float32(3.4e38)
+    kbig = jnp.int32(0x3FFFFFFF)
 
     for vx in range(8):
         chan = chan_ref[vx]               # (8, Kp)
@@ -320,49 +330,46 @@ def _pairs_kernel(chan_ref, sm_ref, out_ref, *, K: int, Kp: int):
         w = chan[4:5, :]
         eps = sm_ref[vx, 5, 0]
 
-        # sublane (i-indexed) copies via one-hot masked reduction (exact in
+        # sublane (k-indexed) copies via one-hot masked reduction (exact in
         # f32; avoids unsupported lane-dim transposes)
         def to_col(row):
             return jnp.sum(jnp.where(eye, row, 0.0), axis=1, keepdims=True)
 
-        uc, vc, Lc, gc, wc = (to_col(x) for x in
-                              (u, v, L, chan[3:4, :], w))
+        uc, vc, Lc, wc = (to_col(x) for x in (u, v, L, w))
+        okjk = (wc > 0.0) & (w > 0.0)     # (Kp8, Kp) valid(k) & valid(j)
+        neg_row = jnp.full((1, Kp), -1, jnp.int32)
 
-        gr = chan[3:4, :]
+        def body(i, _, u=u, v=v, L=L, w=w, uc=uc, vc=vc, Lc=Lc,
+                 okjk=okjk, eps=eps, vx=vx, neg_row=neg_row):
+            ui = sm_ref[vx, 0, i]
+            vi = sm_ref[vx, 1, i]
+            Li = sm_ref[vx, 2, i]
+            wi = sm_ref[vx, 4, i]
 
-        # process i in 8-sublane blocks: the k-sweep then carries only TWO
-        # (8, Kp) vregs (best, bestk) — a full (K, Kp) carry spills ~100
-        # vregs to VMEM every iteration and measured 80 ms at (512, 48)
-        for ib in range(Kp8 // 8):
-            sl = slice(ib * 8, ib * 8 + 8)
-            ucb, vcb, Lcb, gcb, wcb = (x[sl] for x in (uc, vc, Lc, gc, wc))
-            Cij = ucb * v - vcb * u        # Cx[i, j], (8, Kp)
-            Gij = ucb * u + vcb * v
-            e2 = gcb + gr - 2.0 * Gij      # |p_j − p_i|²
-            dL = L - Lcb                   # L[j] − L[i]
-            okij = (wcb > 0.0) & (w > 0.0)
-
-            best0 = jnp.full((8, Kp), big, jnp.float32)
-            bestk0 = jnp.full((8, Kp), -1, jnp.int32)
-
-            def body(k, carry, ucb=ucb, vcb=vcb, Lcb=Lcb, gcb=gcb,
-                     Cij=Cij, Gij=Gij, e2=e2, dL=dL, okij=okij,
-                     u=u, v=v, L=L, eps=eps, vx=vx):
-                best, bestk = carry
-                uk = sm_ref[vx, 0, k]
-                vk = sm_ref[vx, 1, k]
-                Lk = sm_ref[vx, 2, k]
-                wk = sm_ref[vx, 4, k]
-                d = (u * vk - v * uk) + Cij - (ucb * vk - vcb * uk)  # 2·area
-                mp = (u * uk + v * vk) - (ucb * uk + vcb * vk) - Gij + gcb
-                Np = (Lk - Lcb) * e2 - mp * dL
-                valid = okij & (wk > 0.0) & (d > eps)
+            @pl.when(wi > 0.0)
+            def _():
+                du_j, dv_j, dL_j = u - ui, v - vi, L - Li     # (1, Kp)
+                du_k, dv_k, dL_k = uc - ui, vc - vi, Lc - Li  # (Kp8, 1)
+                d = du_j * dv_k - dv_j * du_k   # 2·area, k left of i→j
+                mp = du_k * du_j + dv_k * dv_j  # (p_k−p_i)·(p_j−p_i)
+                e2 = du_j * du_j + dv_j * dv_j  # |p_j−p_i|², (1, Kp)
+                Np = dL_k * e2 - mp * dL_j
+                valid = okjk & (d > eps)
                 r = jnp.where(valid, Np / jnp.where(valid, d, 1.0), big)
-                upd = r < best
-                return jnp.where(upd, r, best), jnp.where(upd, k, bestk)
+                best = jnp.min(r, axis=0, keepdims=True)      # (1, Kp)
+                bk = jnp.min(jnp.where(r == best, kio, kbig),
+                             axis=0, keepdims=True)           # first-min k
+                out_ref[vx, pl.dslice(i, 1), :] = jnp.where(
+                    best < big, bk, -1)
 
-            best, bestk = jax.lax.fori_loop(0, K, body, (best0, bestk0))
-            out_ref[vx, sl, :] = jnp.where(best < big, bestk, -1)
+            @pl.when(wi <= 0.0)
+            def _():
+                out_ref[vx, pl.dslice(i, 1), :] = neg_row
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+        if Kp8 > K:
+            out_ref[vx, K:, :] = jnp.full((Kp8 - K, Kp), -1, jnp.int32)
 
 
 def _pairs_argmin_tpu(u, v, lift, gd, mask, d_eps, interpret: bool = False):
