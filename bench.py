@@ -107,6 +107,32 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
 
     for k in range(warmup):
         pipe.step(frames[k])
+        if k == 0 and hasattr(pipe, "prime_adaptive"):
+            pipe.prime_adaptive()   # compile the hi-budget variant now
+    if mesh is not None:
+        # Warm the (rare) compaction programs OUTSIDE the timed loop: their
+        # first-ever compile otherwise lands mid-timing the first time
+        # occupancy crosses the high-water mark (~9 s through the tunneled
+        # chip — which alone halved an r5 bench run's measured fps).  The
+        # compact jits take no donated args, so a discarded warm call is
+        # side-effect-free.
+        import jax.numpy as jnp
+        from immesh_tpu.lio.pipeline import _compact_jit, _keep_radius_vm
+        from immesh_tpu.mesh.pipeline import (
+            _compact_mesh_jit, _keep_radius_mesh)
+        mc, vc = cfg.mesh, cfg.voxel_map
+        r = jnp.asarray(mc.local_map_radius, jnp.float32)
+        _ = _keep_radius_mesh(
+            mesh.gm, lio.state.pos + 0,
+            int(mc.compact_low_water * mc.points_capacity),
+            int(mc.compact_low_water * mc.voxel_capacity),
+            mc.local_map_radius)
+        _ = _keep_radius_vm(lio.vm, lio.state.pos + 0,
+                            int(vc.compact_low_water * vc.capacity),
+                            vc.local_map_radius)
+        _ = _compact_mesh_jit(mesh.gm, mesh.store, lio.state.pos + 0, r)
+        _ = _compact_jit(lio.vm, lio.state.pos + 0, r)
+        del _
     sync()
 
     poses, diags = [], []
@@ -151,6 +177,11 @@ def run_scale(cfg, sim, gt, frames, n_frames, warmup, lio_only=False,
         out["map_mesh_voxels"] = int(mesh.gm.vox.occupancy())
         out["map_lio_voxels"] = int(lio.vm.n_voxels())
         out["n_compactions"] = mesh.n_compactions + lio.n_compactions
+        # compaction is a rare whole-table rebuild; its wall cost is inside
+        # frames_per_s (honest) and also reported separately so the
+        # steady-state rate is readable — the bench capacity is sized small
+        # to FORCE compaction (production capacities compact ~10x rarer)
+        out["compact_ms_total"] = round(mesh.compact_ms + lio.compact_ms, 1)
 
         if drain_tail:
             # After the stream stops, the pending backlog must drain to
@@ -397,6 +428,7 @@ def main() -> None:
     detail["map_mesh_voxels"] = kitti_out["map_mesh_voxels"]
     detail["map_lio_voxels"] = kitti_out["map_lio_voxels"]
     detail["n_compactions"] = kitti_out["n_compactions"]
+    detail["compact_ms_total"] = kitti_out["compact_ms_total"]
     detail["backlog_trend"] = kitti_out["backlog_trend"]
     detail["drain_tail_frames"] = kitti_out.get("drain_tail_frames", 0)
     detail["backlog_after_drain"] = kitti_out.get("backlog_after_drain", 0)
@@ -440,6 +472,14 @@ def main() -> None:
     lio_out, _ = run_scale(cfg_kitti, ksim, kgt, kframes,
                            args.kitti_frames, args.warmup, lio_only=True)
     detail["lio_frames_per_s_kitti131k"] = round(lio_out["frames_per_s"], 2)
+
+    # fixed-budget joint rate (no adaptive top-up): the peak steady rate of
+    # the base program, next to the headline's burst-absorbing run
+    if args.adaptive_budget:
+        fx_out, _ = run_scale(cfg_kitti, ksim, kgt, kframes,
+                              args.kitti_frames, args.warmup)
+        detail["odom_mesh_frames_per_s_fixed_budget"] = round(
+            fx_out["frames_per_s"], 2)
 
     # ---- window-BA A/B sweep (BASELINE.md north star) ---------------------
     if not args.no_ba:

@@ -115,6 +115,7 @@ class LioPipeline:
         self.vm = VoxelMap.create(cfg.voxel_map)
         self.frame_idx = 0
         self.n_compactions = 0
+        self.compact_ms = 0.0   # wall time spent inside compaction events
         self._occ_pending = None  # in-flight async occupancy copy
 
     def static_init(self, acc, gyr):
@@ -175,16 +176,25 @@ class LioPipeline:
             return False
         self._occ_pending = None
         self.n_compactions += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         # hysteresis: compact down to the LOW water mark so steady growth
-        # doesn't re-trigger a full table rebuild every few frames
-        low = mc.compact_low_water * mc.capacity
-        radius = mc.local_map_radius
-        for _ in range(8):
-            self.vm = _compact_jit(
-                self.vm, self.state.pos, jnp.asarray(radius, jnp.float32))
-            if int(self.vm.n_voxels()) <= low:
+        # doesn't re-trigger a full table rebuild every few frames.  The
+        # keep radius is solved in one device pass (distance quantile at
+        # the low-water count) instead of a shrink-until-under rebuild
+        # loop — see mesh/pipeline.maybe_compact.
+        low = int(mc.compact_low_water * mc.capacity)
+        radius = _keep_radius_vm(self.vm, self.state.pos + 0, low,
+                                 mc.local_map_radius)
+        self.vm = _compact_jit(self.vm, self.state.pos, radius)
+        r = float(radius) * 0.7
+        for _ in range(2):  # quantile-granularity guard, rarely taken
+            if int(self.vm.n_voxels()) <= high:
                 break
-            radius *= 0.7
+            self.vm = _compact_jit(
+                self.vm, self.state.pos, jnp.asarray(r, jnp.float32))
+            r *= 0.7
+        self.compact_ms += 1e3 * (_time.perf_counter() - _t0)
         return True
 
 
@@ -192,3 +202,19 @@ class LioPipeline:
 def _compact_jit(vm: VoxelMap, center: jnp.ndarray,
                  radius: jnp.ndarray) -> VoxelMap:
     return vm.compact(center, radius)
+
+
+@functools.partial(jax.jit, static_argnames=("low", "r_max"))
+def _keep_radius_vm(vm: VoxelMap, center: jnp.ndarray, low: int,
+                    r_max: float) -> jnp.ndarray:
+    """Largest keep radius whose Chebyshev cube holds ≤ `low` live voxels
+    (per-level centers, the same rule VoxelMap.compact evicts by)."""
+    from immesh_tpu.map.hash import EMPTY
+    keys = vm.table.keys
+    live = keys[:, 0] != EMPTY
+    size = vm.cfg.voxel_size / jnp.exp2(keys[:, 3].astype(jnp.float32))
+    vcen = (keys[:, :3].astype(jnp.float32) + 0.5) * size[:, None]
+    d = jnp.max(jnp.abs(vcen - center[None, :]), axis=-1)
+    d = jnp.sort(jnp.where(live, d, jnp.float32(jnp.inf)))
+    r = jnp.minimum(jnp.float32(r_max), d[min(low, d.shape[0]) - 1])
+    return jnp.where(jnp.isfinite(r), r * (1.0 - 1e-6), jnp.float32(r_max))

@@ -64,6 +64,7 @@ class MeshPipeline:
         # bounded-loss drop counters of the most recent step (device scalars)
         self.last_drops = None
         self.n_compactions = 0
+        self.compact_ms = 0.0   # wall time spent inside compaction events
         self._occ_pending = None  # in-flight async occupancy copy
 
     def step(self, pts_world, mask, sensor_pos):
@@ -118,19 +119,33 @@ class MeshPipeline:
             return False
         self._occ_pending = None  # state changes below invalidate the poll
         self.n_compactions += 1
+        import time as _time
+        _t0 = _time.perf_counter()
         # hysteresis: target the LOW water mark (growth headroom so a dense
-        # map doesn't re-trigger a rebuild every few frames)
+        # map doesn't re-trigger a rebuild every few frames).  The keep
+        # radius is solved in ONE device pass as the distance quantile at
+        # the low-water count — the former shrink-until-under loop rebuilt
+        # the full tables up to 8× with a host sync each round (~4 s per
+        # compaction through the tunneled chip, measured in the r5 bench).
         low_p = mc.compact_low_water * mc.points_capacity
         low_v = mc.compact_low_water * mc.voxel_capacity
-        radius = mc.local_map_radius
-        for _ in range(8):
-            self.gm, self.store = _compact_mesh_jit(
-                self.gm, self.store, jnp.asarray(sensor_pos),
-                jnp.asarray(radius, jnp.float32))
-            if (int(self.gm.n_points()) <= low_p
-                    and int(self.gm.vox.occupancy()) <= low_v):
+        center = jnp.asarray(sensor_pos)
+        radius = _keep_radius_mesh(
+            self.gm, center, int(low_p), int(low_v),
+            mc.local_map_radius)
+        self.gm, self.store = _compact_mesh_jit(
+            self.gm, self.store, center, radius)
+        # quantile granularity / voxel-vs-point keep mismatch guard: at most
+        # two fallback shrinks (rarely taken)
+        r = float(radius) * 0.7
+        for _ in range(2):
+            if (int(self.gm.n_points()) <= high_p
+                    and int(self.gm.vox.occupancy()) <= high_v):
                 break
-            radius *= 0.7
+            self.gm, self.store = _compact_mesh_jit(
+                self.gm, self.store, center, jnp.asarray(r, jnp.float32))
+            r *= 0.7
+        self.compact_ms += 1e3 * (_time.perf_counter() - _t0)
         return True
 
     # ------------------------------------------------------------------
@@ -144,6 +159,35 @@ def _compact_mesh_jit(gm: GlobalPointMap, store: TriangleStore,
     gm, maps = gm.compact(center, radius)
     store = remap_store(store, maps["slot_map"], maps["idmap"])
     return gm, store
+
+
+@functools.partial(jax.jit, static_argnames=("low_p", "low_v", "r_max"))
+def _keep_radius_mesh(gm: GlobalPointMap, center: jnp.ndarray,
+                      low_p: int, low_v: int, r_max: float) -> jnp.ndarray:
+    """Largest keep radius whose Chebyshev cube holds ≤ low-water voxels AND
+    points: the (low_k)-th smallest live distance, one sort per table."""
+    from immesh_tpu.map.hash import EMPTY
+    res = gm.cfg.voxel_resolution
+    big = jnp.float32(jnp.inf)
+
+    vkeys = gm.vox.keys
+    vlive = vkeys[:, 0] != EMPTY
+    vcen = (vkeys[:, :3].astype(jnp.float32) + 0.5) * res
+    dv = jnp.max(jnp.abs(vcen - center[None, :]), axis=-1)
+    dv = jnp.sort(jnp.where(vlive, dv, big))
+    rv = dv[min(low_v, dv.shape[0]) - 1]
+
+    alloc = jnp.arange(gm.pts.shape[0], dtype=jnp.int32) < gm.pt_count
+    # a point survives iff its VOXEL center is inside the cube (compact's
+    # keep rule) — evaluate the same center formula per point
+    pc = (jnp.floor(gm.pts / res) + 0.5) * res
+    dp = jnp.max(jnp.abs(pc - center[None, :]), axis=-1)
+    dp = jnp.sort(jnp.where(alloc, dp.astype(jnp.float32), big))
+    rp = dp[min(low_p, dp.shape[0]) - 1]
+
+    r = jnp.minimum(jnp.float32(r_max), jnp.minimum(rv, rp))
+    # strictly below the quantile sample so the counted element is evicted
+    return jnp.where(jnp.isfinite(r), r * (1.0 - 1e-6), jnp.float32(r_max))
 
 
 def _extract(gm, store) -> Tuple[np.ndarray, np.ndarray]:

@@ -21,6 +21,7 @@ VARIANTS = {
     "nosmooth": {"mesh.pull_smooth_lam": 0.0},
     "a256": {"mesh.active_voxels_per_frame": 256},
     "a1024": {"mesh.active_voxels_per_frame": 1024},
+    "a2048": {"mesh.active_voxels_per_frame": 2048},
     "chunk128": {"mesh.mesh_chunk": 128},
     "chunk512": {"mesh.mesh_chunk": 512},
     "pull32": {"mesh.pull_capacity": 32},
