@@ -32,7 +32,20 @@ superset is also written to BENCH_DETAIL.json:
                                         SCALE and operating mode, not the
                                         KITTI dataset)
   * ate_ba_off / ate_ba_on            — window-BA A/B on the localization
-                                        replay (BASELINE.md north star)
+                                        replay (BASELINE.md north star);
+                                        ba_ab_table sweeps kick × window ×
+                                        SLAM-mode (on must beat off per row)
+  * backlog_trend / drain_tail_frames / backlog_after_drain — per-frame
+                                        re-mesh backlog LEVEL, and the
+                                        post-stream drain to zero (the
+                                        reference's real-time criterion is
+                                        mesh queue <10 frames)
+  * n_compactions / compact_ms_total  — lifetime management must FIRE during
+                                        the bench; its wall cost is inside
+                                        frames_per_s and also split out
+  * mesh_boundary_edge_frac[_oracle]  — watertightness vs the reference
+                                        geometry (scipy/qhull standing in
+                                        for CGAL) on the same recorded map
   * drops_*                           — bounded-loss accounting (should be ~0)
   * mfu_pct                           — XLA-counted FLOPs of the fused frame
                                         program / frame time / bf16 peak

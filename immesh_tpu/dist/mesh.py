@@ -101,11 +101,17 @@ def shard_mesh_config(mesh_cfg: MeshConfig, n_shards: int,
         # configs sit below the floors), never scale below the floor
         return max(min(v, floor), int(v * f))
 
+    act = scale(mesh_cfg.active_voxels_per_frame, 128)
     return dataclasses.replace(
         mesh_cfg,
         max_pts_per_frame=scale(mesh_cfg.max_pts_per_frame, 2048),
         file_voxels_per_frame=scale(mesh_cfg.file_voxels_per_frame, 512),
-        active_voxels_per_frame=scale(mesh_cfg.active_voxels_per_frame, 128),
+        active_voxels_per_frame=act,
+        # the kernel chunk must track the scaled active set: a chunk sized
+        # for the single-chip budget makes each chip pad its small active
+        # set to one mostly-empty mega-chunk (chunk=512 vs ~40 live voxels
+        # at n=8 blew the r5 CPU scaling curve 4×)
+        mesh_chunk=max(8, min(mesh_cfg.mesh_chunk, _round_up(act // 4, 8))),
     )
 
 
@@ -267,7 +273,8 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
         n_part_drop = jnp.zeros((), jnp.int32)
 
     gm, slots, smask, _ = smm.gm.append_frame(pts_c, mask_c)
-    if cfg.mesh.pull_smooth_lam > 0:
+    mc = smm.gm.cfg     # the budget-SCALED mesh config (shard_mesh_config)
+    if mc.pull_smooth_lam > 0:
         # smooth ALL active voxels this chip appended (own + halo): halo
         # copies of a point smooth from the same raw geometry, so owner and
         # neighbor read matching values up to summation order
@@ -279,7 +286,7 @@ def _sharded_mesh_body(smm_stacked, scan_local, mask_local, sensor_pos,
     # re-meshed by their owner, whose halo covers this chip's edge points
     smask_own = smask & smm.owns_voxel(slots)
     ids, counts, _ = triangulate_voxels(
-        gm, slots, smask_own, sensor_pos, cfg.mesh, cfg.mesh.mesh_chunk)
+        gm, slots, smask_own, sensor_pos, mc, mc.mesh_chunk)
     store = apply_triangles(smm.store, slots, smask_own, ids, counts)
     # mark the FULL pre-ownership active set meshed: a halo voxel left
     # pending (vox_new>0) would re-enter the backlog every frame and
