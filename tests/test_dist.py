@@ -87,6 +87,7 @@ class TestDpLio:
 
 
 class TestMpMesh:
+    @pytest.mark.slow  # >12 s; sharded/pre-partition parity cover the path
     def test_matches_single_device_triangles(self, mesh8):
         cfg = PRESETS["sim"]()
         rng = np.random.default_rng(0)

@@ -67,6 +67,7 @@ class TestLayerRefinement:
         dist = np.abs(np.einsum("ij,ij->i", nrm, q) + np.asarray(r4["d"]))
         assert np.all(dist < 0.02), dist
 
+    @pytest.mark.slow  # >12 s on the 2-core gate host
     def test_levels_live_in_one_table(self):
         """Level-ℓ entries key the same flat hash table with level as the 4th
         key component (no per-level tables to manage)."""

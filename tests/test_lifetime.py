@@ -25,6 +25,7 @@ def _plane_patch(rng, cx, cy, n=512, extent=2.0):
 
 
 class TestVoxelMapCompact:
+    @pytest.mark.slow  # >12 s on the 2-core gate host
     def test_keeps_near_drops_far(self, rng):
         cfg = VoxelMapConfig(voxel_size=1.0, capacity=2 ** 12)
         vm = VoxelMap.create(cfg)

@@ -4,6 +4,7 @@ offline-pointcloud mode, state checkpointing."""
 import os
 
 import numpy as np
+import pytest
 
 from immesh_tpu.config import PRESETS
 from immesh_tpu.frontend.sim import LidarImuSimulator
@@ -91,6 +92,7 @@ class TestPlaneMapExport:
     """Plane-map visualization export — the analogue of the reference's
     `pubPlaneMap` MarkerArray publisher (src/voxel_mapping.cpp:947-1159)."""
 
+    @pytest.mark.slow  # >12 s on the 2-core gate host
     def test_patches_lie_on_their_planes(self, tmp_path):
         import jax.numpy as jnp
         from immesh_tpu.config import VoxelMapConfig
