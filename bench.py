@@ -241,11 +241,17 @@ def kitti_config():
     compaction high-water mark around frame ~30 (the r4 run ended at ~105k
     points): lifetime management must FIRE during the bench, not exist on
     an untraveled code path — BENCH JSON records n_compactions ≥ 1."""
+    import dataclasses
     from immesh_tpu.config import PRESETS
     base = PRESETS["kitti"]()
     return base.replace(
         preprocess=base.preprocess.__class__(
             lidar_type=100, blind=0.05, max_points=131072),
+        # a 131k scan downsampled to 8192 points at 3 m odometry voxels
+        # touches a few hundred voxels per level — 1024 caps it with 3-5×
+        # headroom while shrinking the per-level insert/refit pipelines 4×
+        voxel_map=dataclasses.replace(
+            base.voxel_map, touched_voxels_per_scan=1024),
         mesh=base.mesh.__class__(
             pts_minimum_scale=0.15, voxel_resolution=0.6,
             points_capacity=2 ** 17, voxel_capacity=2 ** 15,

@@ -88,6 +88,10 @@ class VoxelMapConfig:
     capacity: int = 2 ** 18                 # hash-table slots (power of two)
     max_probe: int = 32                     # open-addressing probe bound
     max_layers: int = 2                     # refinement levels (ref max_layer)
+    touched_voxels_per_scan: int = 4096     # static cap on unique voxels a
+    # scan may touch per level; sizes the per-level aggregation/insert/refit
+    # pipelines (a downsampled scan at coarse voxels touches a few hundred —
+    # large-voxel presets can shrink this 4× for ~the same ms saving)
     # lifetime management (reference laser_map_fov_segment sliding cube,
     # voxel_mapping_common.cpp:214-288; cube_side_length default 1000 m)
     local_map_radius: float = 500.0         # keep radius on compaction, m

@@ -94,15 +94,17 @@ class VoxelMap:
     # growth (reference buildVoxelMap / updateVoxelMap)
     # ==================================================================
     def update(self, pts_world: jnp.ndarray, point_sigma2: jnp.ndarray,
-               mask: jnp.ndarray, max_voxels: int = 4096) -> "VoxelMap":
+               mask: jnp.ndarray, max_voxels: int = 0) -> "VoxelMap":
         """Insert a scan into the map and refit touched planes. Jit-safe.
 
         Args:
           pts_world: (N, 3) world-frame points.
           point_sigma2: (N,) isotropic per-point noise tr(Σ)/3.
           mask: (N,) bool validity.
-          max_voxels: static cap on unique voxels touched per scan per level.
+          max_voxels: static cap on unique voxels touched per scan per level
+            (0 = cfg.touched_voxels_per_scan).
         """
+        max_voxels = max_voxels or self.cfg.touched_voxels_per_scan
         vm = self._update_level(pts_world, point_sigma2, mask, 0, max_voxels)
         m = mask
         for lvl in range(1, self.cfg.max_layers):
