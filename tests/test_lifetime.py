@@ -49,6 +49,7 @@ class TestVoxelMapCompact:
         q_far = vm2.query_planes(jnp.asarray(far[:16]))
         assert not bool(np.any(np.asarray(q_far["found"])))
 
+    @pytest.mark.slow  # ~8-10 s; default gate keeps a faster sibling
     def test_regrows_after_compaction(self, rng):
         cfg = VoxelMapConfig(voxel_size=1.0, capacity=2 ** 10, max_probe=32)
         vm = VoxelMap.create(cfg)

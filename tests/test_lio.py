@@ -32,6 +32,7 @@ def sim_clean():
 
 
 class TestImuPropagate:
+    @pytest.mark.slow  # ~8 s; default gate keeps a faster sibling
     def test_matches_ground_truth(self, sim_clean):
         sim = sim_clean
         cfg = ImuConfig()

@@ -167,6 +167,7 @@ class TestServer:
         finally:
             srv.stop()
 
+    @pytest.mark.slow  # ~8-10 s; default gate keeps a faster sibling
     def test_runtime_integration(self):
         """ImMeshRuntime.start_live_viewer serves the live mesh."""
         from immesh_tpu.frontend.sim import LidarImuSimulator

@@ -176,6 +176,7 @@ class TestVoxelMap:
         vm = vm.update(jnp.asarray(pts[80:]), jnp.full(120, 1e-4), jnp.ones(120, bool), 64)
         assert float(jnp.max(vm.count)) == 80
 
+    @pytest.mark.slow  # ~8-10 s; default gate keeps a faster sibling
     def test_subdivision_on_nonplanar(self, rng):
         vm = VoxelMap.create(self._cfg(planer_threshold=0.001))
         # full 3-D noise in one voxel → not planar → children created

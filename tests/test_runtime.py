@@ -25,6 +25,7 @@ def _bundles(sim, cfg, n):
 
 
 class TestJointRuntime:
+    @pytest.mark.slow  # ~8-10 s; default gate keeps a faster sibling
     def test_end_to_end_with_logs(self, tmp_path):
         cfg = PRESETS["sim"]()
         sim = LidarImuSimulator(n_rays=2048, seed=5)

@@ -78,6 +78,7 @@ class TestOwnership:
             for b in range(a + 1, N_DEV):
                 assert not (shard_sets[a] & shard_sets[b])
 
+    @pytest.mark.slow  # ~8 s; default gate keeps a faster sibling
     def test_owned_planes_match_single_device(self, rng):
         cfg = PRESETS["sim"]()
         pts = rng.uniform(-15, 15, size=(4096, 3)).astype(np.float32)

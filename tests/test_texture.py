@@ -198,6 +198,7 @@ class TestOpticalFlow:
 
 
 class TestTexturePipeline:
+    @pytest.mark.slow  # ~8-10 s; default gate keeps a faster sibling
     def test_colored_mesh_end_to_end(self, rng, tmp_path):
         """Mesh a plane, colorize from a camera straight above, export a
         vertex-colored PLY, read it back."""
