@@ -27,3 +27,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU's LLVM JIT accumulates state across the suite's ~hundreds of
+    compiles and eventually segfaults/aborts INSIDE a later compile
+    (deterministically reproducible with the full slow suite; each victim
+    test passes in a fresh process).  Dropping the executable caches between
+    modules keeps the client below the poisoning threshold.  Costs some
+    cross-module cache reuse; module-internal reuse is unaffected."""
+    yield
+    import jax
+    jax.clear_caches()
