@@ -161,7 +161,6 @@ class GlobalPointMap:
             mask = mask & (vrank % step == 0)
 
         # ---- 1. in-frame dedup at the min-spacing grid -------------------
-        cell = _grid_coords(pts_world, cfg.pts_minimum_scale, tag=0)
         if N > cfg.max_pts_per_frame:
             # After decimation at most max_pts_per_frame rows are valid, so
             # the dedup's lexicographic sort need not touch all N rows: an
@@ -178,11 +177,15 @@ class GlobalPointMap:
             ids0 = jnp.full(M0, N, jnp.int32).at[ctgt].set(
                 jnp.arange(N, dtype=jnp.int32), mode="drop")
             cvalid = ids0 < N
-            ccell = cell[jnp.minimum(ids0, N - 1), :3]
+            # cell coords computed on the COMPACT rows only — the former
+            # full-N (N, 4) cell tensor existed just to be gathered here
+            ccell = _grid_coords(pts_world[jnp.minimum(ids0, N - 1)],
+                                 cfg.pts_minimum_scale, tag=0)[:, :3]
             _, firstc, n_cells = frame_unique_coords(ccell, cvalid, k_cells)
             first = jnp.where(
                 firstc < M0, ids0[jnp.minimum(firstc, M0 - 1)], N)
         else:
+            cell = _grid_coords(pts_world, cfg.pts_minimum_scale, tag=0)
             _, first, n_cells = frame_unique_coords(cell[:, :3], mask, k_cells)
         if cfg.ablate == "app_cell0":
             return _trunc(first, n_cells)
@@ -191,7 +194,7 @@ class GlobalPointMap:
         # representative row per distinct cell → hash-insert sees unique keys
         cand_ok = first < N
         ci = jnp.minimum(first, N - 1)
-        cand_cell = cell[ci]
+        cand_cell = _grid_coords(pts_world[ci], cfg.pts_minimum_scale, tag=0)
         dedup, slots = self.dedup.insert(cand_cell, cand_ok)
         # fresh ⇔ inserted into a previously-empty slot: detect via old key
         was_present = self.dedup.keys[jnp.maximum(slots, 0), 0] != EMPTY
